@@ -1,0 +1,60 @@
+"""libKMTPU — TPU-native K-means (Yinyang + Lloyd) and K-nn, built with JAX/XLA/Pallas.
+
+A from-scratch TPU rebuild of the capabilities of src-d/kmcuda (reference:
+``/root/reference/src/kmcuda.h:118-155``): two public entry points behind the
+same Python API shape —
+
+- :func:`kmeans_tpu` — Yinyang K-means with a Lloyd fallback, four centroid
+  init schemes (random, k-means++, AFK-MC2, import), L2 and angular metrics,
+  fp32 and bf16 (the reference's "fp16x2" mode), multi-device data parallelism.
+- :func:`knn_tpu` — exact k-nearest-neighbors over precomputed k-means
+  clusters with triangle-inequality pruning.
+
+Instead of CUDA kernels + P2P copies, the compute path is MXU matmuls
+(``d^2 = |x|^2 + |c|^2 - 2 x.c``), Pallas kernels for the fused hot loops, and
+``shard_map`` + ``psum``/``all_gather`` over a ``jax.sharding.Mesh`` for
+multi-device execution.
+"""
+
+from kmcuda_tpu.utils.errors import (
+    KMTPUResult,
+    KMTPUError,
+    KMTPUInvalidArguments,
+    KMTPUNoSuchDevice,
+    KMTPUMemoryAllocationFailure,
+    KMTPURuntimeError,
+    KMTPUMemoryCopyError,
+)
+from kmcuda_tpu.ops.distance import DistanceMetric
+from kmcuda_tpu.models.initialization import InitMethod
+from kmcuda_tpu.api import kmeans_tpu, knn_tpu
+
+# The reference gates fp16 on CUDA_ARCH >= 60 and exports this flag
+# (reference src/python.cc:52).  On TPU, bfloat16 is always natively
+# supported by the MXU, so the capability flag is unconditionally true.
+supports_fp16 = True
+
+# Aliases matching the reference binding names (reference src/python.cc:24-30)
+# so a kmcuda user can `from kmcuda_tpu import kmeans_cuda, knn_cuda` and keep
+# their call sites unchanged.
+kmeans_cuda = kmeans_tpu
+knn_cuda = knn_tpu
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "kmeans_tpu",
+    "knn_tpu",
+    "kmeans_cuda",
+    "knn_cuda",
+    "supports_fp16",
+    "DistanceMetric",
+    "InitMethod",
+    "KMTPUResult",
+    "KMTPUError",
+    "KMTPUInvalidArguments",
+    "KMTPUNoSuchDevice",
+    "KMTPUMemoryAllocationFailure",
+    "KMTPURuntimeError",
+    "KMTPUMemoryCopyError",
+]

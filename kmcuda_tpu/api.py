@@ -1,0 +1,170 @@
+"""Public API: kmeans_tpu / knn_tpu.
+
+Same call shape as the reference Python binding (reference
+src/python.cc:159-171, 412-484):
+
+    kmeans_tpu(samples, clusters, tolerance=0.01, init="k-means++",
+               yinyang_t=0.1, metric="L2", average_distance=False,
+               seed=None, device=0, verbosity=0)
+        -> (centroids, assignments[, average_distance])
+
+    knn_tpu(k, samples, centroids, assignments, metric="L2", device=0,
+            verbosity=0)
+        -> neighbors
+
+Differences from the reference, by design:
+- ``samples`` may be a numpy array (host path) or a ``jax.Array`` (the
+  analog of the reference's device-pointer tuple protocol,
+  python.cc:232-278): jax in -> jax out with no host round-trip.
+- fp16 input selects bf16 storage with fp32 accumulation instead of fp16x2
+  packing; ``features_size`` is NOT halved.
+- ``seed=None`` derives a seed from the clock, like the reference's default
+  ``seed=time()``; RNG streams are jax.random, so draws differ from the
+  reference's rand() for equal seeds.
+- extra keyword ``max_iterations`` bounds the Lloyd/Yinyang loop.
+"""
+
+import time
+
+import jax
+import numpy as np
+
+from kmcuda_tpu import config
+from kmcuda_tpu.models import initialization as I
+from kmcuda_tpu.models import knn as KNN
+from kmcuda_tpu.models import lloyd as L
+from kmcuda_tpu.models.problem import prepare
+from kmcuda_tpu.ops.distance import DistanceMetric, metrics
+from kmcuda_tpu.parallel.mesh import Topology
+from kmcuda_tpu.utils import validation as V
+from kmcuda_tpu.utils.errors import KMTPUInvalidArguments
+from kmcuda_tpu.utils.logging import Logger
+
+
+def _parse_metric(metric):
+    if isinstance(metric, DistanceMetric):
+        return metric
+    if isinstance(metric, str):
+        try:
+            return metrics[metric]
+        except KeyError:
+            raise KMTPUInvalidArguments("unknown metric %r" % metric)
+    raise TypeError("metric must be a string or DistanceMetric")
+
+
+def _parse_init(init):
+    """str | ("afkmc2", m) | ndarray -> (method, m, imported).
+
+    Mirrors the reference's init argument protocol (python.cc:196-217)."""
+    if isinstance(init, str):
+        try:
+            return I.init_methods[init], 0, None
+        except KeyError:
+            raise KMTPUInvalidArguments("unknown init method %r" % init)
+    if isinstance(init, (tuple, list)):
+        if not init or not isinstance(init[0], str):
+            raise TypeError("init tuple must start with a method name")
+        try:
+            method = I.init_methods[init[0]]
+        except KeyError:
+            raise KMTPUInvalidArguments("unknown init method %r" % init[0])
+        m = 0
+        if len(init) > 1:
+            if init[1] is not None and int(init[1]) < 0:
+                raise KMTPUInvalidArguments("init parameter must be >= 0")
+            m = int(init[1]) if init[1] is not None else 0
+        return method, m, None
+    if hasattr(init, "shape"):
+        return I.InitMethod.IMPORT, 0, init
+    raise TypeError("init must be a string, tuple or array, got %r" % (init,))
+
+
+def _check_cosine(problem):
+    """Probe 3 samples for unit norm, like the reference (kmcuda.cc:195-220)."""
+    n = problem.n
+    idx = sorted({0, n // 2, n - 1})
+    probe = np.asarray(problem.x_sq[np.array(idx)])
+    if not V.check_cosine_normalized(probe):
+        raise KMTPUInvalidArguments(
+            "the angular distance metric requires samples to be normalized "
+            "(unit L2 norm); probe norms^2 were %s" % (probe,))
+
+
+def _export(arr, like, dtype=None):
+    """jax in -> jax out; numpy in -> numpy out."""
+    if isinstance(like, jax.Array):
+        return arr if dtype is None else arr.astype(dtype)
+    out = np.asarray(jax.device_get(arr))
+    return out if dtype is None else out.astype(dtype)
+
+
+def kmeans_tpu(samples, clusters, tolerance=0.01, init="k-means++",
+               yinyang_t=config.DEFAULT_YINYANG_T, metric="L2",
+               average_distance=False, seed=None, device=0, verbosity=0,
+               max_iterations=None):
+    """K-means clustering on TPU.  See module docstring for the contract."""
+    n, features, k = V.check_kmeans_args(
+        samples, clusters, tolerance, yinyang_t, seed, device)
+    metric_e = _parse_metric(metric)
+    init_e, afkmc2_m, imported = _parse_init(init)
+    logger = Logger(verbosity)
+    topo = Topology.from_device_mask(int(device), logger)
+    problem = prepare(samples, k, metric_e, topo, logger)
+    if metric_e == DistanceMetric.COSINE:
+        _check_cosine(problem)
+    if problem.n_valid < k:
+        raise KMTPUInvalidArguments(
+            "only %d finite samples for %d clusters" % (problem.n_valid, k))
+
+    if seed is None:
+        seed = int(time.time())
+    key = jax.random.key(int(seed))
+    centroids = I.init_centroids(problem, init_e, key,
+                                 afkmc2_m=afkmc2_m, imported=imported)
+    assignments = L.new_assignments(problem)
+
+    groups = int(yinyang_t * k)
+    if groups > 0 and tolerance < config.YINYANG_MIN_TOLERANCE:
+        from kmcuda_tpu.models import yinyang as Y
+        centroids, assignments, best, iters = Y.run(
+            problem, centroids, assignments, tolerance, groups,
+            max_iterations=max_iterations, key=key)
+    else:
+        centroids, assignments, best, iters, _ = L.run(
+            problem, centroids, assignments, tolerance,
+            max_iterations=max_iterations)
+    logger.debug("finished in %d iterations" % iters)
+
+    out_c = _export(centroids, samples)
+    if not isinstance(samples, jax.Array) and \
+            np.dtype(samples.dtype) == np.float16:
+        out_c = out_c.astype(np.float16)
+    out_a = _export(assignments[:n], samples)
+    if not isinstance(out_a, jax.Array):
+        out_a = out_a.astype(np.uint32)
+    if not average_distance:
+        return out_c, out_a
+    ad = float(L.average_distance(
+        best, problem.x_sq, problem.valid,
+        np.float32(problem.n_valid), metric=problem.metric))
+    return out_c, out_a, ad
+
+
+def knn_tpu(k, samples, centroids, assignments, metric="L2", device=0,
+            verbosity=0):
+    """Exact k-nearest-neighbors of every sample, using the k-means
+    structure for pruning.  Returns (n, k) neighbor indices sorted by
+    ascending distance, excluding the sample itself."""
+    n, features, k, n_clusters = V.check_knn_args(
+        k, samples, centroids, assignments, device)
+    metric_e = _parse_metric(metric)
+    logger = Logger(verbosity)
+    topo = Topology.from_device_mask(int(device), logger)
+    problem = prepare(samples, n_clusters, metric_e, topo, logger)
+    if metric_e == DistanceMetric.COSINE:
+        _check_cosine(problem)
+    nbr, _dist = KNN.run(problem, k)
+    out = _export(nbr[:n], samples)
+    if not isinstance(out, jax.Array):
+        out = out.astype(np.uint32)
+    return out

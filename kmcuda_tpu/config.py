@@ -1,0 +1,83 @@
+"""Tuning constants.
+
+The reference keeps its magic numbers as ``#define``s scattered through the
+kernels (reference src/kmeans.cu:14-29, src/knn.cu:7-12, src/transpose.cu:3-4,
+catalogued in SURVEY.md §2.3).  Here they are real config, in one place.
+
+CUDA block sizes have no TPU analog; the corresponding knobs here are the
+sample-chunk length processed per scan step (how much of the distance matrix
+is materialized in VMEM at a time — the analog of the reference's ``cstep``
+shared-memory centroid tiling, kmeans.cu:243-258) and the Pallas tile shapes.
+"""
+
+# ---- algorithm constants (identical semantics to the reference) -----------
+
+#: Yinyang group count = YINYANG_T * clusters; same default as the reference
+#: API (kmcuda.h:97-99).
+DEFAULT_YINYANG_T = 0.1
+
+#: Tolerance used when clustering the centroids themselves into Yinyang
+#: groups (YINYANG_GROUP_TOLERANCE, kmeans.cu:27).
+YINYANG_GROUP_TOLERANCE = 0.02
+
+#: The Lloyd "draft" phase runs until fewer than this fraction of samples are
+#: reassigned, then Yinyang takes over (YINYANG_DRAFT_REASSIGNMENTS,
+#: kmeans.cu:28).  Yinyang is pointless while assignments churn.
+YINYANG_DRAFT_REASSIGNMENTS = 0.11
+
+#: If more than (1 - epsilon) of samples pass the global filter, the bounds
+#: have gone stale and are recomputed exactly (YINYANG_REFRESH_EPSILON,
+#: kmeans.cu:29).
+YINYANG_REFRESH_EPSILON = 1e-4
+
+#: Yinyang is disabled entirely when tolerance >= this value — convergence is
+#: declared too early for the bounds machinery to pay off (kmeans.cu:1037-1050).
+YINYANG_MIN_TOLERANCE = 0.11
+
+#: Default AFK-MC2 Markov chain length (kmcuda.cc:338-345).
+AFKMC2_DEFAULT_M = 200
+
+#: Safety cap on Lloyd/Yinyang iterations.  The reference iterates until the
+#: tolerance is met with no cap; a cap guards tolerance=0 runs on adversarial
+#: data where Lloyd cycles.
+DEFAULT_MAX_ITERATIONS = 65535
+
+# ---- size limits (mirroring the reference's uint32 layout constraints,
+# README.md:116-118, enforced at kmcuda.cc:31-39 / python.cc:109-118) --------
+
+MAX_SAMPLES = 2**32 - 1
+MAX_CLUSTERS = 2**32 - 2
+MAX_FEATURES = 2**16
+MAX_CLUSTERS_X_FEATURES = 2**32
+
+# ---- TPU execution shape knobs ---------------------------------------------
+
+#: Rows of samples processed per step of the fused assign+update scan.  Sets
+#: the transient (chunk x clusters) score-block footprint:
+#: 2048 x 1024 x 4 B = 8 MB, sized to stay VMEM-resident alongside the
+#: centroid block.
+DEFAULT_SAMPLE_CHUNK = 2048
+
+#: Pad the cluster axis to a multiple of this (TPU lane width).
+LANE = 128
+
+#: Pad sample counts to a multiple of this (fp32 sublane width).
+SUBLANE = 8
+
+#: Additive penalty marking padded cluster slots; +inf breaks ``argmin``
+#: tie-breaking via where-min, so use a huge finite score instead.
+PAD_PENALTY = 1e30
+
+# ---- Pallas kernel tiles ----------------------------------------------------
+
+#: Sample-tile rows for the fused Pallas assignment kernel.
+ASSIGN_TILE_S = 512
+#: Cluster-tile columns for the fused Pallas assignment kernel.
+ASSIGN_TILE_C = 512
+#: Feature-chunk for the Pallas kernels when features are too large to keep
+#: a full (tile_s, features) block in VMEM.
+ASSIGN_TILE_F = 512
+
+#: K-nn brute-force / pruned search tiles.
+KNN_TILE_Q = 512
+KNN_TILE_M = 2048

@@ -1,0 +1,105 @@
+"""Prepared problem state: upload, padding, NaN hygiene.
+
+The reference's equivalents are ``init_udevptrs`` (replicating host input to
+every GPU, reference src/kmcuda.cc:139-170) and the feature-major transpose
+it performs for coalesced reads (kmcuda.cc:481-482, transpose.cu).  On TPU:
+
+- replication/sharding is one ``jax.device_put`` with a ``NamedSharding``;
+- the transpose component is intentionally absent: distances are MXU
+  matmuls, and XLA's layout assignment owns the physical layout
+  (SURVEY.md §7.2), so samples stay sample-major;
+- NaN handling is hoisted out of the kernels: rows with any non-finite value
+  are marked invalid once and zeroed, so downstream matmuls never see NaN
+  (the reference instead guards every kernel with ``_eq(s, s)`` checks,
+  kmeans.cu:52, 276-284).
+"""
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from kmcuda_tpu import config
+from kmcuda_tpu.ops.distance import DistanceMetric
+from kmcuda_tpu.parallel.mesh import Topology
+from kmcuda_tpu.utils.errors import KMTPUInvalidArguments
+
+
+@dataclasses.dataclass
+class Problem:
+    """Device-resident, padded, cleaned inputs plus the execution shape."""
+
+    topo: Topology
+    logger: object
+    n: int                # true sample count
+    n_pad: int            # padded to n_devices * chunk multiple
+    features: int
+    k: int
+    metric: DistanceMetric
+    chunk: int            # scan chunk (rows per VMEM-resident score block)
+    dtype: object         # storage dtype (fp32 or bf16)
+    x: jax.Array          # (n_pad, F) cleaned, storage dtype, dp-sharded
+    x_sq: jax.Array       # (n_pad,) fp32 squared norms, dp-sharded
+    valid: jax.Array      # (n_pad,) bool, dp-sharded
+    n_valid: int          # number of valid (finite, non-pad) rows
+
+
+@functools.partial(jax.jit, static_argnames=("n", "dtype"))
+def _clean(x_pad, *, n, dtype):
+    """valid-mask, zero-fill invalid rows, squared norms (one fused pass)."""
+    rows = lax.broadcasted_iota(jnp.int32, (x_pad.shape[0], 1), 0)[:, 0]
+    finite = jnp.all(jnp.isfinite(x_pad.astype(jnp.float32)), axis=1)
+    valid = finite & (rows < n)
+    x_clean = jnp.where(valid[:, None], x_pad, 0).astype(dtype)
+    xf = x_clean.astype(jnp.float32)
+    x_sq = jnp.sum(xf * xf, axis=1)
+    return x_clean, x_sq, valid, jnp.sum(valid, dtype=jnp.int32)
+
+
+def storage_dtype_for(samples_dtype) -> object:
+    """fp16/bf16 input selects bf16 storage (the reference's fp16x2 mode,
+    but without halving features — no packing needed on TPU); everything
+    float-like else is fp32."""
+    samples_dtype = np.dtype(samples_dtype)
+    if samples_dtype in (np.dtype(np.float16), np.dtype(jnp.bfloat16)):
+        return jnp.bfloat16
+    if samples_dtype in (np.dtype(np.float32), np.dtype(np.float64)):
+        return jnp.float32
+    raise KMTPUInvalidArguments(
+        "samples dtype must be float16/bfloat16/float32/float64, got %s"
+        % samples_dtype)
+
+
+def prepare(samples, k: int, metric: DistanceMetric, topo: Topology,
+            logger, chunk: int | None = None) -> Problem:
+    """Pad, shard, and clean the sample matrix."""
+    n, features = samples.shape
+    dtype = storage_dtype_for(samples.dtype)
+    if chunk is None:
+        chunk = topo.pick_chunk(n, config.DEFAULT_SAMPLE_CHUNK)
+    n_pad = topo.pad_to(n, chunk)
+
+    if isinstance(samples, jax.Array):
+        x_pad = jnp.pad(samples, ((0, n_pad - n), (0, 0)))
+    else:
+        arr = np.ascontiguousarray(samples)
+        if n_pad != n:
+            x_pad = np.zeros((n_pad, features), dtype=arr.dtype)
+            x_pad[:n] = arr
+        else:
+            x_pad = arr
+    x_pad = jax.device_put(x_pad, topo.sharded(2))
+
+    x, x_sq, valid, n_valid = _clean(x_pad, n=n, dtype=dtype)
+    n_valid = int(n_valid)
+    logger.debug("prepared problem: n=%d (pad %d, chunk %d), features=%d, "
+                 "k=%d, dtype=%s, devices=%d, valid=%d"
+                 % (n, n_pad, chunk, features, k, np.dtype(dtype).name,
+                    topo.n, n_valid))
+    return Problem(topo=topo, logger=logger, n=n, n_pad=n_pad,
+                   features=features, k=k, metric=metric, chunk=chunk,
+                   dtype=dtype, x=x, x_sq=x_sq, valid=valid,
+                   n_valid=n_valid)

@@ -1,0 +1,223 @@
+"""K-means integration tests.
+
+Same validation strategy as the reference suite (reference src/test.py,
+SURVEY.md §4): behavioral parity against sklearn (one extra KMeans step from
+our centroids must reassign less than the tolerance fraction), seed-locked
+iteration-count goldens parsed from the ``iteration N: M reassignments``
+stdout lines, and multi-device variants of each major test via the device
+bitmask — here against the 8-device virtual CPU mesh from conftest.
+"""
+
+import numpy as np
+import pytest
+from sklearn.cluster import KMeans
+
+from kmcuda_tpu import kmeans_tpu
+
+
+@pytest.fixture(scope="module")
+def samples():
+    """A deterministic 2D blob mixture, the same *kind* of fixture as the
+    reference (test.py:159-168): several uniform squares plus background."""
+    rng = np.random.RandomState(0)
+    arr = np.empty((13000, 2), dtype=np.float32)
+    arr[:2000] = rng.rand(2000, 2) + [0, 0.5]
+    arr[2000:4000] = rng.rand(2000, 2) + [0, 1.5]
+    arr[4000:6000] = rng.rand(2000, 2) - [0, 0.5]
+    arr[6000:8000] = rng.rand(2000, 2) + [0.5, 0]
+    arr[8000:10000] = rng.rand(2000, 2) - [0.5, 0]
+    arr[10000:] = rng.rand(3000, 2) * 5 - [2, 2]
+    return arr
+
+
+def validate(samples, centroids, assignments, tolerance):
+    """One sklearn Lloyd step seeded with our centroids must move fewer
+    than tolerance * n samples."""
+    assert not np.isnan(centroids).any(), "NaN centroids (empty clusters)"
+    ref = KMeans(n_clusters=len(centroids), init=centroids, n_init=1,
+                 max_iter=1)
+    next_assign = ref.fit_predict(samples)
+    reassigned = int(np.sum(assignments != next_assign))
+    assert reassigned / len(samples) < tolerance, reassigned
+
+
+def iters_logged(capsys) -> int:
+    return sum(1 for line in capsys.readouterr().out.splitlines()
+               if line.startswith("iteration"))
+
+
+class TestValidation:
+    def test_bad_clusters_type(self, samples):
+        with pytest.raises(TypeError):
+            kmeans_tpu(samples, "bullshit", init="random", yinyang_t=0)
+
+    def test_bad_init(self, samples):
+        with pytest.raises(ValueError):
+            kmeans_tpu(samples, 50, init="bullshit", yinyang_t=0)
+
+    def test_bad_tolerance(self, samples):
+        with pytest.raises(ValueError):
+            kmeans_tpu(samples, 50, init="random", tolerance=100,
+                       yinyang_t=0)
+
+    def test_bad_yinyang(self, samples):
+        with pytest.raises(ValueError):
+            kmeans_tpu(samples, 50, init="random", yinyang_t=10)
+
+    def test_bad_device_mask(self, samples):
+        with pytest.raises(ValueError):
+            kmeans_tpu(samples, 50, init="random", yinyang_t=0,
+                       device=0xFFFF)
+
+    def test_too_many_clusters(self, samples):
+        with pytest.raises(ValueError):
+            kmeans_tpu(samples[:10], 50, init="random", yinyang_t=0)
+
+
+class TestLloyd:
+    # Seed-locked iteration-count goldens, the determinism pillar of the
+    # reference suite (test.py:212,225).  Observed once on the CPU-8 mesh
+    # with seed=3 and pinned; coincidentally identical to the reference's
+    # own 7/4 on its fixture.
+    GOLDEN_RANDOM = 7
+    GOLDEN_PLUSPLUS = 4
+
+    def test_random_lloyd(self, samples, capsys):
+        centroids, assignments = kmeans_tpu(
+            samples, 50, init="random", device=1, verbosity=2, seed=3,
+            tolerance=0.05, yinyang_t=0)
+        iters = iters_logged(capsys)
+        assert centroids.shape == (50, 2)
+        assert centroids.dtype == np.float32
+        assert assignments.shape == (13000,)
+        assert assignments.dtype == np.uint32
+        if self.GOLDEN_RANDOM is not None:
+            assert iters == self.GOLDEN_RANDOM
+        validate(samples, centroids, assignments, 0.05)
+
+    def test_kmeanspp_lloyd(self, samples, capsys):
+        centroids, assignments = kmeans_tpu(
+            samples, 50, init="kmeans++", device=1, verbosity=2, seed=3,
+            tolerance=0.05, yinyang_t=0)
+        iters = iters_logged(capsys)
+        if self.GOLDEN_PLUSPLUS is not None:
+            assert iters == self.GOLDEN_PLUSPLUS
+        validate(samples, centroids, assignments, 0.05)
+
+    def test_afkmc2_lloyd(self, samples):
+        centroids, assignments = kmeans_tpu(
+            samples, 50, init=("afkmc2", 200), device=1, seed=3,
+            tolerance=0.05, yinyang_t=0)
+        validate(samples, centroids, assignments, 0.05)
+
+    def test_import_lloyd(self, samples):
+        centroids, _ = kmeans_tpu(
+            samples, 50, init="random", device=1, seed=3, tolerance=0.25,
+            yinyang_t=0)
+        centroids, assignments = kmeans_tpu(
+            samples, 50, init=centroids, device=1, seed=3, tolerance=0.05,
+            yinyang_t=0)
+        validate(samples, centroids, assignments, 0.05)
+
+    def test_random_lloyd_all_devices(self, samples, capsys):
+        """device=0 -> all 8 virtual devices (the reference's multi-GPU
+        tests, test.py:256-305, without needing a GPU cluster)."""
+        centroids, assignments = kmeans_tpu(
+            samples, 50, init="random", device=0, verbosity=2, seed=3,
+            tolerance=0.05, yinyang_t=0)
+        assert iters_logged(capsys) > 0
+        validate(samples, centroids, assignments, 0.05)
+
+    def test_random_lloyd_two_devices(self, samples):
+        centroids, assignments = kmeans_tpu(
+            samples, 50, init="random", device=3, seed=3,
+            tolerance=0.05, yinyang_t=0)
+        validate(samples, centroids, assignments, 0.05)
+
+    def test_determinism(self, samples):
+        a = kmeans_tpu(samples, 50, init="random", device=1, seed=3,
+                       tolerance=0.05, yinyang_t=0)
+        b = kmeans_tpu(samples, 50, init="random", device=1, seed=3,
+                       tolerance=0.05, yinyang_t=0)
+        assert np.array_equal(a[0], b[0])
+        assert np.array_equal(a[1], b[1])
+
+    def test_average_distance(self, samples):
+        centroids, assignments, ad = kmeans_tpu(
+            samples, 50, init="random", device=1, seed=3, tolerance=0.05,
+            yinyang_t=0, average_distance=True)
+        # cross-check against a numpy recomputation (reference
+        # test.py:562-571 does the same to 1e-6)
+        d = np.linalg.norm(samples - centroids[assignments], axis=1)
+        assert ad == pytest.approx(float(d.mean()), abs=1e-5)
+
+    def test_nan_samples(self, samples):
+        corrupted = samples.copy()
+        corrupted[42] = np.nan
+        corrupted[4242, 0] = np.nan
+        centroids, assignments = kmeans_tpu(
+            corrupted, 50, init="random", device=1, seed=3,
+            tolerance=0.05, yinyang_t=0)
+        # NaN samples get the invalid marker id == clusters (kmeans.cu:276-284)
+        assert assignments[42] == 50
+        assert assignments[4242] == 50
+        assert not np.isnan(centroids).any()
+
+    def test_jax_array_io(self, samples):
+        import jax
+        import jax.numpy as jnp
+        x = jnp.asarray(samples)
+        centroids, assignments = kmeans_tpu(
+            x, 50, init="random", device=1, seed=3, tolerance=0.05,
+            yinyang_t=0)
+        # jax in -> jax out, no host transfer (the device-pointer protocol
+        # analog, python.cc:232-278)
+        assert isinstance(centroids, jax.Array)
+        assert isinstance(assignments, jax.Array)
+        validate(samples, np.asarray(centroids), np.asarray(assignments),
+                 0.05)
+
+
+class TestCosine:
+    def test_cosine_basic(self, samples):
+        rng = np.random.RandomState(7)
+        x = rng.rand(8000, 4).astype(np.float32) + 0.1
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        centroids, assignments = kmeans_tpu(
+            x, 16, init="random", metric="cos", device=1, seed=3,
+            tolerance=0.05, yinyang_t=0)
+        # angular centroids are unit-norm (reference test.py:437-439)
+        norms = np.linalg.norm(centroids, axis=1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+        # every sample lands in its max-cosine cluster
+        sims = x @ centroids.T
+        np.testing.assert_array_equal(assignments, sims.argmax(axis=1))
+
+    def test_cosine_requires_normalized(self, samples):
+        with pytest.raises(ValueError):
+            kmeans_tpu(samples * 3.0, 50, metric="cos", device=1,
+                       yinyang_t=0, seed=3)
+
+
+class TestHalf:
+    def test_fp16_lloyd(self, samples):
+        centroids, assignments = kmeans_tpu(
+            samples.astype(np.float16), 50, init="random", device=1,
+            seed=3, tolerance=0.05, yinyang_t=0)
+        assert centroids.dtype == np.float16
+        validate(samples, centroids.astype(np.float32), assignments, 0.06)
+
+    def test_fp16_vs_fp32_quality(self, samples):
+        """The reference compares fp16 and fp32 centroids element-wise
+        (test.py:512-521) because fp16's 10 mantissa bits keep the
+        trajectories aligned; bf16 (8 bits) flips knife-edge argmins early
+        and lands in a different local optimum, so compare solution
+        *quality* instead: mean distance within 5% (both runs stop at the
+        loose 5% reassignment tolerance, so their optima differ a bit)."""
+        ads = []
+        for arr in (samples.astype(np.float16), samples):
+            _, _, ad = kmeans_tpu(arr, 50, init="random", device=1, seed=3,
+                                  tolerance=0.05, yinyang_t=0,
+                                  average_distance=True)
+            ads.append(ad)
+        assert abs(ads[0] - ads[1]) / ads[1] < 0.05

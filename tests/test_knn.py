@@ -1,0 +1,62 @@
+"""K-nn tests: element-wise parity with sklearn NearestNeighbors, with a
+small tie budget like the reference (test.py:598-603)."""
+
+import numpy as np
+import pytest
+from sklearn.neighbors import NearestNeighbors
+
+from kmcuda_tpu import kmeans_tpu, knn_tpu
+
+
+@pytest.fixture(scope="module")
+def samples():
+    rng = np.random.RandomState(0)
+    arr = np.empty((13000, 2), dtype=np.float32)
+    arr[:2000] = rng.rand(2000, 2) + [0, 0.5]
+    arr[2000:4000] = rng.rand(2000, 2) + [0, 1.5]
+    arr[4000:6000] = rng.rand(2000, 2) - [0, 0.5]
+    arr[6000:8000] = rng.rand(2000, 2) + [0.5, 0]
+    arr[8000:10000] = rng.rand(2000, 2) - [0.5, 0]
+    arr[10000:] = rng.rand(3000, 2) * 5 - [2, 2]
+    return arr
+
+
+@pytest.fixture(scope="module")
+def clustered(samples):
+    return kmeans_tpu(samples, 50, seed=777, tolerance=0.01, yinyang_t=0)
+
+
+def _expected(samples, k):
+    return NearestNeighbors(n_neighbors=k).fit(samples).kneighbors()[1]
+
+
+def test_small_k(samples, clustered):
+    nb = knn_tpu(10, samples, *clustered, device=1)
+    assert nb.shape == (13000, 10)
+    assert nb.dtype == np.uint32
+    bn = _expected(samples, 10)
+    assert (nb != bn).sum() <= 4  # tie budget, reference allows dmax
+
+def test_larger_k(samples, clustered):
+    nb = knn_tpu(50, samples, *clustered, device=1)
+    bn = _expected(samples, 50)
+    assert (nb != bn).sum() <= 8
+
+
+def test_multi_device(samples, clustered):
+    nb = knn_tpu(10, samples, *clustered, device=0)
+    bn = _expected(samples, 10)
+    assert (nb != bn).sum() <= 4
+
+
+def test_no_self(samples, clustered):
+    nb = knn_tpu(10, samples, *clustered, device=1)
+    own = np.arange(len(samples))[:, None]
+    assert not (nb == own).any()
+
+
+def test_bad_k(samples, clustered):
+    with pytest.raises(ValueError):
+        knn_tpu(0, samples, *clustered)
+    with pytest.raises(TypeError):
+        knn_tpu("ten", samples, *clustered)
