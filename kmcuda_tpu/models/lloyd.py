@@ -14,6 +14,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from kmcuda_tpu import config
@@ -40,6 +41,20 @@ def _build_step(mesh, n_clusters, metric, chunk):
     return jax.jit(mapped, donate_argnums=(3,))
 
 
+@functools.lru_cache(maxsize=64)
+def _build_run(mesh, n_clusters, metric, chunk, max_iterations):
+    """shard_map + jit the whole on-device convergence loop."""
+    fn = functools.partial(
+        A.lloyd_run, n_clusters=n_clusters, metric=metric, chunk=chunk,
+        max_iterations=max_iterations, axis_name=AXIS)
+    mapped = jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS), P(AXIS), P(AXIS), P(None, None),
+                  P()),
+        out_specs=(P(None, None), P(AXIS), P(AXIS), P(), P()))
+    return jax.jit(mapped, donate_argnums=(3,))
+
+
 def new_assignments(problem) -> jax.Array:
     """Fresh 'never assigned' vector (cluster id == k, the invalid marker —
     the id NaN samples keep forever, kmeans.cu:276-284)."""
@@ -59,19 +74,18 @@ def run(problem, centroids, assignments, tolerance, max_iterations=None,
     p = problem
     if max_iterations is None:
         max_iterations = config.DEFAULT_MAX_ITERATIONS
-    step = _build_step(p.topo.mesh, p.k, p.metric, p.chunk)
-    threshold = tolerance * p.n
-    it = 0
-    best = None
-    while True:
-        new_centroids, assignments, best, changed = step(
-            p.x, p.x_sq, p.valid, assignments, centroids)
-        it += 1
-        changed = int(changed)
-        p.logger.iteration(iter_offset + it, changed)
-        if changed <= threshold or it >= max_iterations:
-            return centroids, assignments, best, it, changed
-        centroids = new_centroids
+    run_fn = _build_run(p.topo.mesh, p.k, p.metric, p.chunk, max_iterations)
+    tol_count = jnp.int32(int(tolerance * p.n))
+    centroids, assignments, best, it, changed_log = run_fn(
+        p.x, p.x_sq, p.valid, assignments, centroids, tol_count)
+    it = int(it)
+    # one readback for the whole run; replay the reference's per-iteration
+    # progress lines from the on-device log
+    changed_log = np.asarray(jax.device_get(changed_log))[:it].tolist()
+    for i, c in enumerate(changed_log):
+        p.logger.iteration(iter_offset + i + 1, c)
+    return centroids, assignments, best, it, \
+        changed_log[-1] if changed_log else 0
 
 
 @functools.partial(jax.jit, static_argnames=("metric",))

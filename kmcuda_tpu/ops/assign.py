@@ -59,29 +59,23 @@ def pad_clusters(centroids: jax.Array, storage_dtype) -> tuple:
     return c.T.astype(storage_dtype), c_sq, penalty, ids
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_clusters", "metric", "chunk", "axis_name"))
-def lloyd_step(x, x_sq, valid, prev_assign, centroids, *,
-               n_clusters: int, metric: D.DistanceMetric, chunk: int,
-               axis_name=None):
-    """One Lloyd iteration over the local shard.
+def _mark_varying(tree, axis_name):
+    """Under shard_map a scan/while carry touched by sharded data becomes
+    device-varying; mark it as such upfront (no-op if already varying)."""
+    if axis_name is None:
+        return tree
 
-    Args:
-      x:           (Nl, F) samples, NaN rows pre-zeroed (storage dtype).
-      x_sq:        (Nl,) fp32 squared norms of the *original* rows.
-      valid:       (Nl,) bool — finite, non-padding rows.
-      prev_assign: (Nl,) uint32, previous assignments (n_clusters for
-                   invalid/never-assigned).
-      centroids:   (K, F) fp32, replicated.
+    def cast(a):
+        if axis_name in getattr(jax.typeof(a), "vma", ()):
+            return a
+        return lax.pcast(a, (axis_name,), to="varying")
 
-    Returns:
-      new_centroids (K, F) fp32  — the adjusted centroids (full segment mean),
-      assign        (Nl,) uint32 — assignment against the *input* centroids,
-      best_score    (Nl,) fp32   — winning monotone score (see ops.distance),
-      changed       ()    int32  — number of reassigned samples (global if
-                                   axis_name is set).
-    """
+    return jax.tree.map(cast, tree)
+
+
+def _assign_update_pass(x, x_sq, valid, prev_assign, centroids, *,
+                        n_clusters, metric, chunk, axis_name):
+    """The fused single-pass body shared by lloyd_step and lloyd_run."""
     nl, f = x.shape
     k = n_clusters
     c_t, c_sq, penalty, orig_ids = pad_clusters(centroids, x.dtype)
@@ -106,13 +100,9 @@ def lloyd_step(x, x_sq, valid, prev_assign, centroids, *,
         changed = changed + jnp.sum(aid != pab, dtype=jnp.int32)
         return (sums, counts, changed), (aid, best)
 
-    init = (jnp.zeros((k, f), jnp.float32), jnp.zeros((k,), jnp.int32),
-            jnp.int32(0))
-    if axis_name is not None:
-        # under shard_map the carry becomes device-varying after the first
-        # chunk touches sharded data; mark it as such upfront
-        init = jax.tree.map(
-            lambda a: lax.pcast(a, (axis_name,), to="varying"), init)
+    init = _mark_varying(
+        (jnp.zeros((k, f), jnp.float32), jnp.zeros((k,), jnp.int32),
+         jnp.int32(0)), axis_name)
     (sums, counts, changed), (assign, best) = lax.scan(
         body, init, (xs, xsqs, vs, pas))
 
@@ -124,3 +114,77 @@ def lloyd_step(x, x_sq, valid, prev_assign, centroids, *,
     new_centroids = D.normalize_centroids(
         sums, counts.astype(jnp.float32), metric)
     return (new_centroids, assign.reshape(nl), best.reshape(nl), changed)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_clusters", "metric", "chunk", "axis_name"))
+def lloyd_step(x, x_sq, valid, prev_assign, centroids, *,
+               n_clusters: int, metric: D.DistanceMetric, chunk: int,
+               axis_name=None):
+    """One Lloyd iteration over the local shard.
+
+    Args:
+      x:           (Nl, F) samples, NaN rows pre-zeroed (storage dtype).
+      x_sq:        (Nl,) fp32 squared norms of the *original* rows.
+      valid:       (Nl,) bool — finite, non-padding rows.
+      prev_assign: (Nl,) uint32, previous assignments (n_clusters for
+                   invalid/never-assigned).
+      centroids:   (K, F) fp32, replicated.
+
+    Returns:
+      new_centroids (K, F) fp32  — the adjusted centroids (full segment mean),
+      assign        (Nl,) uint32 — assignment against the *input* centroids,
+      best_score    (Nl,) fp32   — winning monotone score (see ops.distance),
+      changed       ()    int32  — number of reassigned samples (global if
+                                   axis_name is set).
+    """
+    return _assign_update_pass(
+        x, x_sq, valid, prev_assign, centroids, n_clusters=n_clusters,
+        metric=metric, chunk=chunk, axis_name=axis_name)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_clusters", "metric", "chunk", "max_iterations",
+                     "axis_name"))
+def lloyd_run(x, x_sq, valid, prev_assign, centroids, tol_count, *,
+              n_clusters: int, metric: D.DistanceMetric, chunk: int,
+              max_iterations: int, axis_name=None):
+    """Run Lloyd to convergence entirely on device.
+
+    The reference pays one device->host sync per iteration to read the
+    reassignment counter (check_changed, kmeans.cu:697-717); that is cheap
+    over PCIe but dominates wall time over a remote TPU link.  A
+    ``lax.while_loop`` keeps the convergence decision on device and returns
+    the per-iteration reassignment counts as an array, so the driver prints
+    the same ``iteration N: M reassignments`` lines after the fact — one
+    readback per *run* instead of per iteration.
+
+    Returns (centroids_used, assign, best, iterations, changed_log) where
+    ``centroids_used`` are the centroids the final assignment was computed
+    against (the reference also stops before re-adjusting).
+    """
+    def cond(carry):
+        _c_used, _c_next, _assign, _best, it, changed, _log = carry
+        return (it == 0) | ((changed > tol_count) & (it < max_iterations))
+
+    def body(carry):
+        _c_used, c_cur, assign, _best, it, _changed, log = carry
+        c_adj, assign2, best2, changed2 = _assign_update_pass(
+            x, x_sq, valid, assign, c_cur, n_clusters=n_clusters,
+            metric=metric, chunk=chunk, axis_name=axis_name)
+        log = log.at[it].set(changed2)
+        return (c_cur, c_adj, assign2, best2, it + 1, changed2, log)
+
+    nl = x.shape[0]
+    # only the per-shard components (assign, best) are device-varying; the
+    # psum'd centroids / counters stay replicated through the loop
+    assign0, best0 = _mark_varying(
+        (prev_assign, jnp.zeros((nl,), jnp.float32)), axis_name)
+    init = (centroids, centroids, assign0, best0, jnp.int32(0),
+            jnp.int32(jnp.iinfo(jnp.int32).max),
+            jnp.zeros((max_iterations,), jnp.int32))
+    c_used, _c_next, assign, best, it, _changed, log = lax.while_loop(
+        cond, body, init)
+    return c_used, assign, best, it, log
