@@ -126,11 +126,11 @@ def kmeans_tpu(samples, clusters, tolerance=0.01, init="k-means++",
     groups = int(yinyang_t * k)
     if groups > 0 and tolerance < config.YINYANG_MIN_TOLERANCE:
         from kmcuda_tpu.models import yinyang as Y
-        centroids, assignments, best, iters = Y.run(
+        centroids, assignments, _best, iters = Y.run(
             problem, centroids, assignments, tolerance, groups,
             max_iterations=max_iterations, key=key)
     else:
-        centroids, assignments, best, iters, _ = L.run(
+        centroids, assignments, _best, iters, _ = L.run(
             problem, centroids, assignments, tolerance,
             max_iterations=max_iterations)
     logger.debug("finished in %d iterations" % iters)
@@ -144,9 +144,7 @@ def kmeans_tpu(samples, clusters, tolerance=0.01, init="k-means++",
         out_a = out_a.astype(np.uint32)
     if not average_distance:
         return out_c, out_a
-    ad = float(L.average_distance(
-        best, problem.x_sq, problem.valid,
-        np.float32(problem.n_valid), metric=problem.metric))
+    ad = L.mean_assigned_distance(problem, centroids, assignments)
     return out_c, out_a, ad
 
 

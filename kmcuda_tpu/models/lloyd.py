@@ -55,6 +55,89 @@ def _build_run(mesh, n_clusters, metric, chunk, max_iterations):
     return jax.jit(mapped, donate_argnums=(3,))
 
 
+@functools.lru_cache(maxsize=64)
+def _build_run_incremental(mesh, n_clusters, metric, chunk, max_iterations):
+    """shard_map + jit the incremental (delta-update) convergence loop."""
+    fn = functools.partial(
+        A.lloyd_run_incremental, n_clusters=n_clusters, metric=metric,
+        chunk=chunk, max_iterations=max_iterations, axis_name=AXIS)
+    mapped = jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS), P(AXIS), P(AXIS), P(None, None),
+                  P(None, None), P(None), P()),
+        out_specs=(P(None, None), P(AXIS), P(AXIS), P(None, None), P(None),
+                   P(), P()))
+    return jax.jit(mapped, donate_argnums=(3,))
+
+
+def run_incremental(problem, centroids, assignments, tolerance,
+                    max_iterations=None, iter_offset=0, sums=None,
+                    counts=None):
+    """Lloyd with the reference's incremental centroid updates
+    (kmeans_adjust, kmeans.cu:367-429).  Returns the running (sums,
+    counts) so Yinyang can continue the same accumulation stream —
+    the prerequisite for bitwise Lloyd==Yinyang parity.
+
+    Returns (centroids, assignments, sums, counts, iterations,
+    last_changed)."""
+    p = problem
+    if max_iterations is None:
+        max_iterations = config.DEFAULT_MAX_ITERATIONS
+    run_fn = _build_run_incremental(
+        p.topo.mesh, p.k, p.metric, p.chunk, max_iterations)
+    if sums is None:
+        sums = p.topo.put_replicated(
+            jnp.zeros((p.k, p.features), jnp.float32))
+        counts = p.topo.put_replicated(jnp.zeros((p.k,), jnp.int32))
+    tol_count = jnp.int32(int(tolerance * p.n))
+    centroids, assignments, _best, sums, counts, it, changed_log = run_fn(
+        p.x, p.x_sq, p.valid, assignments, centroids, sums, counts,
+        tol_count)
+    it = int(it)
+    changed_log = np.asarray(jax.device_get(changed_log))[:it].tolist()
+    for i, c in enumerate(changed_log):
+        p.logger.iteration(iter_offset + i + 1, c)
+    return centroids, assignments, sums, counts, it, \
+        changed_log[-1] if changed_log else 0
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "chunk"))
+def _mean_assigned_distance(x, x_sq, valid, assign, centroids, n_valid, *,
+                            metric, chunk):
+    """Mean exact distance of valid samples to their assigned centroid —
+    kmeans_cuda_calc_average_distance (kmeans.cu:675-691, 1265-1300)."""
+    nl, f = x.shape
+    nchunks = nl // chunk
+    c_ext = jnp.concatenate(
+        [centroids, jnp.zeros((1, f), jnp.float32)])
+    c_sq_ext = jnp.concatenate(
+        [jnp.sum(c_ext * c_ext, axis=1)[:-1], jnp.zeros((1,))])
+
+    def body(acc, inp):
+        xb, xsqb, vb, ab = inp
+        cb = c_ext[ab]
+        prod = jnp.sum(xb.astype(jnp.float32) * cb, axis=1)
+        if metric == D.DistanceMetric.L2:
+            score = c_sq_ext[ab] - 2.0 * prod
+        else:
+            score = -prod
+        d = D.finalize_distance(score, xsqb, metric)
+        return acc + jnp.sum(jnp.where(vb, d, 0.0)), None
+
+    acc, _ = jax.lax.scan(
+        body, jnp.float32(0.0),
+        (x.reshape(nchunks, chunk, f), x_sq.reshape(nchunks, chunk),
+         valid.reshape(nchunks, chunk), assign.reshape(nchunks, chunk)))
+    return acc / n_valid
+
+
+def mean_assigned_distance(problem, centroids, assignments) -> float:
+    p = problem
+    return float(_mean_assigned_distance(
+        p.x, p.x_sq, p.valid, assignments, centroids,
+        jnp.float32(p.n_valid), metric=p.metric, chunk=p.chunk))
+
+
 def new_assignments(problem) -> jax.Array:
     """Fresh 'never assigned' vector (cluster id == k, the invalid marker —
     the id NaN samples keep forever, kmeans.cu:276-284)."""

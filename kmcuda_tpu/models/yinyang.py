@@ -1,34 +1,150 @@
 """Yinyang k-means driver (reference: kmeans_cuda_yy, src/kmeans.cu:1028-1263).
 
-Phase plan (SURVEY.md §7.5):
-1. Lloyd draft until reassignments < YINYANG_DRAFT_REASSIGNMENTS (11%).
-2. Cluster the centroids themselves into G groups (recursive k-means).
-3. Iterate with upper/lower drift bounds, global filter, and a compacted
-   local filter that only pays for samples that might change.
+Pipeline (same phases as the reference):
+1. Lloyd draft until reassignments < YINYANG_DRAFT_REASSIGNMENTS (11%,
+   kmeans.cu:28,1051-1057) — Yinyang bounds are useless while assignments
+   churn.
+2. Cluster the centroids themselves into G groups by recursively running
+   k-means (k-means++ init + Lloyd at the group tolerance,
+   kmeans.cu:1061-1094).  Groups are then *capacity-balanced* so the padded
+   (G, P) layout used for group minima wastes little work — a departure
+   from the reference, whose CUDA kernels walk ragged member lists; the
+   grouping only affects speed, never results.
+3. The on-device Yinyang loop (ops.yinyang.yy_run).
 
-NOTE: the filtered main loop lands in the next milestone; this driver
-currently runs the draft phase and finishes with plain Lloyd so the public
-API is complete end-to-end.  Results are identical to Lloyd (the filters
-only ever skip provably-unchanged work).
+Both the draft and the main loop use incremental delta-updates over the
+same compacted changed sets as the incremental Lloyd path, so a Yinyang
+run's (centroids, assignments) are bitwise identical to Lloyd's — the
+reference's headline guarantee (README.md:74-75).
 """
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
 
 from kmcuda_tpu import config
 from kmcuda_tpu.models import lloyd as L
+from kmcuda_tpu.ops import distance as D
+from kmcuda_tpu.ops import yinyang as YY
+from kmcuda_tpu.parallel.mesh import AXIS
+from kmcuda_tpu.utils.logging import Logger
+
+
+@functools.lru_cache(maxsize=32)
+def _build_yy_run(mesh, n_clusters, groups, group_cap, metric, chunk,
+                  max_iterations):
+    fn = functools.partial(
+        YY.yy_run, n_clusters=n_clusters, groups=groups,
+        group_cap=group_cap, metric=metric, chunk=chunk,
+        max_iterations=max_iterations, axis_name=AXIS)
+    mapped = jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS), P(AXIS), P(AXIS), P(None, None),
+                  P(None, None), P(None), P(None, None), P(None, None),
+                  P()),
+        out_specs=(P(None, None), P(AXIS), P(), P(), P()))
+    return jax.jit(mapped, donate_argnums=(3,))
+
+
+def _group_centroids(problem, centroids, groups, key):
+    """Recursive k-means over the centroids (kmeans.cu:1061-1094), then
+    capacity balancing for the padded group layout.
+
+    Returns (group_of (k,) int32 np, pad_src (G,P) int32 np,
+    pad_pen (G,P) f32 np, P)."""
+    from kmcuda_tpu.models import initialization as I
+    from kmcuda_tpu.models.problem import prepare
+
+    p = problem
+    k = p.k
+    sub = prepare(centroids, groups, p.metric, p.topo, Logger(0))
+    c0 = I.init_centroids(sub, I.InitMethod.PLUS_PLUS, key)
+    a0 = L.new_assignments(sub)
+    g_cent, g_assign, _best, _it, _ch = L.run(
+        sub, c0, a0, config.YINYANG_GROUP_TOLERANCE)
+    group_of = np.asarray(jax.device_get(g_assign[:k])).astype(np.int64)
+    # NaN centroids got the invalid marker == groups; they stay groupless.
+
+    # distances centroid -> group center, for capacity balancing
+    dists = np.asarray(jax.device_get(D.pairwise_distance(
+        jnp.nan_to_num(jnp.asarray(centroids)), g_cent, p.metric)))
+    dists = np.nan_to_num(dists, nan=np.inf, posinf=np.inf)
+
+    cap = max(2, int(np.ceil(1.3 * k / groups)))
+    cap = int(-(-cap // 4) * 4)  # stabilize jit cache across runs
+    sizes = np.zeros(groups, dtype=np.int64)
+    members: list[list[int]] = [[] for _ in range(groups)]
+    # first pass: keep everyone whose group has room (ascending index for
+    # determinism); overflow queued
+    overflow = []
+    for c in range(k):
+        g = group_of[c]
+        if g >= groups:
+            continue
+        if sizes[g] < cap:
+            members[g].append(c)
+            sizes[g] += 1
+        else:
+            overflow.append(c)
+    for c in overflow:
+        for g in np.argsort(dists[c]):
+            if sizes[g] < cap:
+                members[g].append(c)
+                sizes[g] += 1
+                group_of[c] = g
+                break
+        else:  # cannot happen: total capacity 1.3k >= k
+            raise AssertionError("group capacity exhausted")
+
+    pad_src = np.zeros((groups, cap), dtype=np.int32)
+    pad_pen = np.full((groups, cap), config.PAD_PENALTY, dtype=np.float32)
+    for g in range(groups):
+        ms = sorted(members[g])
+        pad_src[g, :len(ms)] = ms
+        pad_pen[g, :len(ms)] = 0.0
+    return group_of.astype(np.int32), pad_src, pad_pen, cap
 
 
 def run(problem, centroids, assignments, tolerance, groups,
         max_iterations=None, key=None):
+    """Full Yinyang: draft Lloyd -> centroid grouping -> bounded loop.
+
+    Returns (centroids, assignments, best_scores_or_None, iterations)."""
     p = problem
-    p.logger.debug("yinyang: draft Lloyd until < %.0f%% reassignments"
-                   % (config.YINYANG_DRAFT_REASSIGNMENTS * 100))
-    centroids, assignments, best, it0, changed = L.run(
+    if max_iterations is None:
+        max_iterations = config.DEFAULT_MAX_ITERATIONS
+    p.logger.debug(
+        "yinyang: %d groups; draft Lloyd until < %.0f%% reassignments"
+        % (groups, config.YINYANG_DRAFT_REASSIGNMENTS * 100))
+    centroids, assignments, sums, counts, it0, changed = L.run_incremental(
         p, centroids, assignments, config.YINYANG_DRAFT_REASSIGNMENTS,
         max_iterations=max_iterations)
-    if changed <= tolerance * p.n:
-        return centroids, assignments, best, it0
-    centroids, assignments, best, it1, _ = L.run(
-        p, centroids, assignments, tolerance,
-        max_iterations=None if max_iterations is None
-        else max_iterations - it0,
-        iter_offset=it0)
-    return centroids, assignments, best, it0 + it1
+    if changed <= tolerance * p.n or it0 >= max_iterations:
+        return centroids, assignments, None, it0
+
+    if key is None:
+        key = jax.random.key(0)
+    group_of, pad_src, pad_pen, cap = _group_centroids(
+        p, centroids, groups, jax.random.fold_in(key, 0x77))
+    p.logger.debug("yinyang: group capacity %d (padding %.0f%%)"
+                   % (cap, 100.0 * (groups * cap - p.k) / p.k))
+
+    run_fn = _build_yy_run(p.topo.mesh, p.k, groups, cap, p.metric,
+                           p.chunk, max_iterations)
+    tol_count = jnp.int32(int(tolerance * p.n))
+    c_fin, assign, it, log_ch, log_pa = run_fn(
+        p.x, p.x_sq, p.valid, assignments, centroids, sums, counts,
+        p.topo.put_replicated(jnp.asarray(pad_src)),
+        p.topo.put_replicated(jnp.asarray(pad_pen)),
+        tol_count)
+    it = int(it)
+    log_ch = np.asarray(jax.device_get(log_ch))[:it]
+    log_pa = np.asarray(jax.device_get(log_pa))[:it]
+    for i in range(it):
+        p.logger.iteration(it0 + i + 1, int(log_ch[i]))
+        p.logger.debug("yinyang: %d samples passed the global filter"
+                       % int(log_pa[i]))
+    return c_fin, assign, None, it0 + it

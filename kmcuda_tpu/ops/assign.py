@@ -116,6 +116,94 @@ def _assign_update_pass(x, x_sq, valid, prev_assign, centroids, *,
     return (new_centroids, assign.reshape(nl), best.reshape(nl), changed)
 
 
+def assign_pass(x, valid, centroids, *, n_clusters, metric, chunk):
+    """Assignment only (no centroid update): scan of fused score-matmul +
+    argmin chunks.  Shared by the incremental Lloyd path and (with the same
+    column layout, hence bitwise-identical scores) the Yinyang local
+    filter."""
+    nl, f = x.shape
+    k = n_clusters
+    c_t, c_sq, penalty, orig_ids = pad_clusters(centroids, x.dtype)
+    nchunks = nl // chunk
+    xs = x.reshape(nchunks, chunk, f)
+    vs = valid.reshape(nchunks, chunk)
+
+    def body(_, inp):
+        xb, vb = inp
+        s = D.scores(xb, c_t, c_sq, penalty, metric)
+        best, aid = D.argmin_lowest_index(s, orig_ids, k)
+        aid = jnp.where(vb, aid, jnp.uint32(k))
+        return None, (aid, best)
+
+    _, (assign, best) = lax.scan(body, None, (xs, vs))
+    return assign.reshape(nl), best.reshape(nl)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_clusters", "metric", "chunk", "max_iterations",
+                     "axis_name"))
+def lloyd_run_incremental(x, x_sq, valid, prev_assign, centroids, sums,
+                          counts, tol_count, *, n_clusters: int,
+                          metric: D.DistanceMetric, chunk: int,
+                          max_iterations: int, axis_name=None):
+    """On-device Lloyd loop with *incremental* centroid updates.
+
+    This is the faithful port of the reference's update strategy: assign,
+    then add/subtract only the moved samples into the running centroid sums
+    (kmeans_adjust, kmeans.cu:367-429).  The moved set is compacted
+    (ops.compact) so late iterations cost one full assignment pass plus
+    work proportional to the reassignment count.  Yinyang continues from
+    the returned (sums, counts) with the same delta accumulation, which is
+    what makes Lloyd and Yinyang results bitwise identical.
+
+    Pass sums=counts=0 and prev_assign=k-filled for a fresh start (the
+    first iteration's delta then equals the full segment-sum).
+
+    Returns (centroids_used, assign, best, sums, counts, iterations,
+    changed_log).
+    """
+    from kmcuda_tpu.ops import compact as C
+
+    k = n_clusters
+
+    def cond(carry):
+        it, changed = carry[6], carry[7]
+        return (it == 0) | ((changed > tol_count) & (it < max_iterations))
+
+    def body(carry):
+        (_c_used, c_cur, assign, _best, sums, counts, it, _changed,
+         log) = carry
+        assign2, best2 = assign_pass(
+            x, valid, c_cur, n_clusters=k, metric=metric, chunk=chunk)
+        order, n_moved = C.stable_partition(assign2 != assign)
+        d_sums, d_counts = C.delta_sums(
+            x, assign2, assign, order, n_moved, n_clusters=k, chunk=chunk,
+            axis_name=axis_name)
+        changed2 = n_moved
+        if axis_name is not None:
+            d_sums = lax.psum(d_sums, axis_name)
+            d_counts = lax.psum(d_counts, axis_name)
+            changed2 = lax.psum(changed2, axis_name)
+        sums2 = sums + d_sums
+        counts2 = counts + d_counts
+        c_next = D.normalize_centroids(
+            sums2, counts2.astype(jnp.float32), metric)
+        log = log.at[it].set(changed2)
+        return (c_cur, c_next, assign2, best2, sums2, counts2, it + 1,
+                changed2, log)
+
+    nl = x.shape[0]
+    assign0, best0 = _mark_varying(
+        (prev_assign, jnp.zeros((nl,), jnp.float32)), axis_name)
+    init = (centroids, centroids, assign0, best0, sums, counts,
+            jnp.int32(0), jnp.int32(jnp.iinfo(jnp.int32).max),
+            jnp.zeros((max_iterations,), jnp.int32))
+    (c_used, _c_next, assign, best, sums, counts, it, _changed,
+     log) = lax.while_loop(cond, body, init)
+    return c_used, assign, best, sums, counts, it, log
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_clusters", "metric", "chunk", "axis_name"))

@@ -1,0 +1,93 @@
+"""Stable compaction + incremental centroid updates.
+
+Two primitives shared by the Lloyd and Yinyang paths:
+
+- :func:`stable_partition` — the TPU replacement for the reference's
+  warp-aggregated passed-list compaction (``atomicAggInc(&d_passed_number)``
+  scatter, kmeans.cu:541-582): a cumsum-based stable partition permutation,
+  fully deterministic and O(n).
+- :func:`delta_sums` — the reference's *incremental* centroid update
+  (``kmeans_adjust`` scans all samples but only adds/subtracts the moved
+  ones, kmeans.cu:367-429).  Here the moved samples are first compacted, so
+  each iteration pays one small gather + one small one-hot matmul
+  proportional to the number of reassignments; chunks past the moved count
+  are skipped at runtime with ``lax.cond``.
+
+Because both paths compact the *same* changed set in the same stable order
+and accumulate deltas with the same chunking, Lloyd and Yinyang produce
+bitwise-identical centroid sums — the foundation of the reference's
+"Yinyang and Lloyd give identical results" guarantee (README.md:74-75).
+"""
+
+import jax.numpy as jnp
+from jax import lax
+
+from kmcuda_tpu.ops.assign import _mark_varying
+
+
+def stable_partition(mask):
+    """Permutation that moves ``mask`` rows to the front, preserving order.
+
+    Returns (order (n,) int32, n_true ()), where ``order[j]`` is the
+    original index of the row at compacted position j.
+    """
+    n = mask.shape[0]
+    m = mask.astype(jnp.int32)
+    cs = jnp.cumsum(m)
+    n_true = cs[-1]
+    pos = jnp.where(mask, cs - 1, n_true + jnp.cumsum(1 - m) - 1)
+    order = jnp.zeros((n,), jnp.int32).at[pos].set(
+        jnp.arange(n, dtype=jnp.int32))
+    return order, n_true
+
+
+def delta_sums(x, assign_new, assign_old, order, n_changed, *,
+               n_clusters: int, chunk: int, axis_name=None):
+    """Centroid-sum/count deltas from the reassigned samples only.
+
+    ``order``/``n_changed`` come from ``stable_partition(assign_new !=
+    assign_old)``.  Chunks whose start lies past ``n_changed`` are skipped
+    with ``lax.cond`` (no gather, no matmul).  Rows past the boundary inside
+    the last active chunk contribute exactly zero (new == old == k).
+
+    Returns (d_sums (K, F) fp32, d_counts (K,) int32) — the *local* deltas;
+    the caller psums across the mesh and adds to the running sums.
+    """
+    n, f = x.shape
+    k = n_clusters
+    nchunks = n // chunk
+    cluster_ids = lax.broadcasted_iota(jnp.uint32, (1, k), 1)
+    ordc = order.reshape(nchunks, chunk)
+    bases = jnp.arange(nchunks, dtype=jnp.int32) * chunk
+    offs = jnp.arange(chunk, dtype=jnp.int32)
+
+    def body(carry, inp):
+        d_sums, d_counts = carry
+        ord_b, base = inp
+
+        def active(args):
+            d_sums, d_counts = args
+            row_ok = (base + offs) < n_changed
+            idx = ord_b
+            anew = jnp.where(row_ok, assign_new[idx], jnp.uint32(k))
+            aold = jnp.where(row_ok, assign_old[idx], jnp.uint32(k))
+            xb = x[idx]
+            oh_new = (anew[:, None] == cluster_ids)
+            oh_old = (aold[:, None] == cluster_ids)
+            d_oh = oh_new.astype(x.dtype) - oh_old.astype(x.dtype)
+            d_sums = d_sums + jnp.dot(
+                d_oh.T, xb, preferred_element_type=jnp.float32)
+            d_counts = d_counts + (
+                jnp.sum(oh_new, axis=0, dtype=jnp.int32)
+                - jnp.sum(oh_old, axis=0, dtype=jnp.int32))
+            return d_sums, d_counts
+
+        carry = lax.cond(base < n_changed, active, lambda a: a,
+                         (d_sums, d_counts))
+        return carry, None
+
+    init = _mark_varying(
+        (jnp.zeros((k, f), jnp.float32), jnp.zeros((k,), jnp.int32)),
+        axis_name)
+    (d_sums, d_counts), _ = lax.scan(body, init, (ordc, bases))
+    return d_sums, d_counts

@@ -1,0 +1,122 @@
+"""Yinyang tests: correctness vs sklearn, parity vs Lloyd (the reference's
+bit-to-bit guarantee, README.md:74-75), and the work-skipping behavior."""
+
+import numpy as np
+import pytest
+from sklearn.cluster import KMeans
+
+from kmcuda_tpu import kmeans_tpu
+
+
+@pytest.fixture(scope="module")
+def samples():
+    rng = np.random.RandomState(0)
+    arr = np.empty((13000, 2), dtype=np.float32)
+    arr[:2000] = rng.rand(2000, 2) + [0, 0.5]
+    arr[2000:4000] = rng.rand(2000, 2) + [0, 1.5]
+    arr[4000:6000] = rng.rand(2000, 2) - [0, 0.5]
+    arr[6000:8000] = rng.rand(2000, 2) + [0.5, 0]
+    arr[8000:10000] = rng.rand(2000, 2) - [0.5, 0]
+    arr[10000:] = rng.rand(3000, 2) * 5 - [2, 2]
+    return arr
+
+
+def validate(samples, centroids, assignments, tolerance):
+    ref = KMeans(n_clusters=len(centroids), init=centroids, n_init=1,
+                 max_iter=1)
+    next_assign = ref.fit_predict(samples)
+    assert np.sum(assignments != next_assign) / len(samples) < tolerance
+
+
+def test_kmeanspp_yinyang(samples, capsys):
+    centroids, assignments = kmeans_tpu(
+        samples, 50, init="kmeans++", device=1, verbosity=2, seed=3,
+        tolerance=0.01, yinyang_t=0.1)
+    out = capsys.readouterr().out
+    iters = sum(1 for line in out.splitlines()
+                if line.startswith("iteration"))
+    assert iters > 0
+    assert centroids.shape == (50, 2)
+    validate(samples, centroids, assignments, 0.01)
+
+
+def test_yinyang_equals_lloyd(samples):
+    """The reference guarantees Yinyang and Lloyd produce identical
+    results (README.md:74-75).  Ours share the assignment matmuls and the
+    incremental delta-update stream, so converged runs match bitwise on
+    assignments; public-Lloyd centroids (fused full segment-sum) differ
+    from Yinyang's incremental stream only in final ulps."""
+    yy_c, yy_a = kmeans_tpu(
+        samples, 50, init="random", device=1, seed=3, tolerance=0.002,
+        yinyang_t=0.1)
+    ll_c, ll_a = kmeans_tpu(
+        samples, 50, init="random", device=1, seed=3, tolerance=0.002,
+        yinyang_t=0)
+    assert np.array_equal(yy_a, ll_a)
+    np.testing.assert_allclose(yy_c, ll_c, rtol=1e-5, atol=1e-6)
+
+
+def test_yinyang_equals_incremental_lloyd_bitwise(samples):
+    """Exact bit-parity against the incremental Lloyd path (the faithful
+    port of the reference's kmeans_adjust update strategy)."""
+    import jax
+    import jax.random as jr
+
+    from kmcuda_tpu.models import initialization as I
+    from kmcuda_tpu.models import lloyd as L
+    from kmcuda_tpu.models import yinyang as Y
+    from kmcuda_tpu.models.problem import prepare
+    from kmcuda_tpu.ops.distance import DistanceMetric
+    from kmcuda_tpu.parallel.mesh import Topology
+    from kmcuda_tpu.utils.logging import Logger
+
+    topo = Topology(jax.devices()[:1])
+    p = prepare(samples, 50, DistanceMetric.L2, topo, Logger(0))
+    key = jr.key(3)
+    c0 = I.init_centroids(p, I.InitMethod.RANDOM, key)
+    lc, la, *_ = L.run_incremental(
+        p, c0, L.new_assignments(p), 0.002)
+    yc, ya, _b, _it = Y.run(
+        p, c0, L.new_assignments(p), 0.002, 5, key=key)
+    assert np.array_equal(np.asarray(la), np.asarray(ya))
+    assert np.array_equal(np.asarray(lc), np.asarray(yc), equal_nan=True)
+
+
+def test_yinyang_multi_device(samples):
+    centroids, assignments = kmeans_tpu(
+        samples, 50, init="kmeans++", device=0, seed=3, tolerance=0.01,
+        yinyang_t=0.1)
+    validate(samples, centroids, assignments, 0.01)
+
+
+def test_yinyang_skips_work(samples, capsys):
+    """Late iterations must pass only a small fraction of samples through
+    the local filter — the whole point of the bounds."""
+    kmeans_tpu(samples, 50, init="kmeans++", device=1, verbosity=2, seed=3,
+               tolerance=0.002, yinyang_t=0.1, max_iterations=100)
+    out = capsys.readouterr().out
+    passed = [int(line.split()[1]) for line in out.splitlines()
+              if "passed the global filter" in line]
+    assert passed, out
+    assert passed[-1] < 0.25 * 13000, passed
+
+
+def test_yinyang_average_distance(samples):
+    c, a, ad = kmeans_tpu(
+        samples, 50, init="kmeans++", device=1, seed=3, tolerance=0.01,
+        yinyang_t=0.1, average_distance=True)
+    d = np.linalg.norm(samples - c[a], axis=1)
+    assert ad == pytest.approx(float(d.mean()), abs=1e-5)
+
+
+def test_yinyang_cosine(samples):
+    rng = np.random.RandomState(7)
+    x = rng.rand(8000, 4).astype(np.float32) + 0.1
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    centroids, assignments = kmeans_tpu(
+        x, 40, init="kmeans++", metric="cos", device=1, seed=3,
+        tolerance=0.01, yinyang_t=0.1)
+    np.testing.assert_allclose(
+        np.linalg.norm(centroids, axis=1), 1.0, atol=1e-5)
+    sims = x @ centroids.T
+    assert np.sum(assignments != sims.argmax(1)) <= 2
