@@ -161,7 +161,19 @@ def knn_tpu(k, samples, centroids, assignments, metric="L2", device=0,
     problem = prepare(samples, n_clusters, metric_e, topo, logger)
     if metric_e == DistanceMetric.COSINE:
         _check_cosine(problem)
-    nbr, _dist = KNN.run(problem, k)
+    import jax.numpy as jnp
+    if isinstance(assignments, jax.Array):
+        a_pad = jnp.pad(assignments.astype(jnp.uint32),
+                        (0, problem.n_pad - n),
+                        constant_values=n_clusters)
+    else:
+        a_np = np.full((problem.n_pad,), n_clusters, np.uint32)
+        a_np[:n] = np.asarray(assignments, np.uint32)
+        a_pad = jnp.asarray(a_np)
+    cents = jnp.asarray(np.asarray(centroids, np.float32)
+                        if not isinstance(centroids, jax.Array)
+                        else centroids, jnp.float32)
+    nbr, _dist = KNN.run(problem, cents, a_pad, k)
     out = _export(nbr[:n], samples)
     if not isinstance(out, jax.Array):
         out = out.astype(np.uint32)

@@ -129,17 +129,123 @@ def _build_search(mesh, k, metric, chunk, tile_m):
         out_specs=(P(AXIS, None), P(AXIS, None))))
 
 
-def run(problem, k_neighbors: int):
-    """Search the problem's own samples for each sample's k nearest others."""
+@functools.partial(
+    jax.jit, static_argnames=("n_clusters", "metric", "chunk"))
+def _cluster_structure(x, x_sq, valid, assign, centroids, *, n_clusters,
+                       metric, chunk):
+    """Exact own-centroid distances, cluster radiuses (knn.cu:20-58),
+    cluster distance matrix (knn.cu:62-131, here one matmul) and the
+    cluster-sort permutation (the CSR build of kmcuda.cc:648-691)."""
+    nl, f = x.shape
+    k = n_clusters
+    a = jnp.where(valid & (assign < k), assign, jnp.uint32(k))
+    c_ext = jnp.concatenate(
+        [centroids.astype(jnp.float32), jnp.zeros((1, f), jnp.float32)])
+    c_sq_ext = jnp.concatenate(
+        [jnp.sum(c_ext * c_ext, axis=1)[:-1], jnp.zeros((1,))])
+    nchunks = nl // chunk
+    iota_k1 = lax.broadcasted_iota(jnp.uint32, (1, k + 1), 1)
+
+    def body(_, inp):
+        xb, xsqb, ab = inp
+        oh = (ab[:, None] == iota_k1).astype(jnp.float32)
+        cb = oh @ c_ext
+        prod = jnp.sum(xb.astype(jnp.float32) * cb, axis=1)
+        if metric == D.DistanceMetric.L2:
+            score = (oh @ c_sq_ext) - 2.0 * prod
+        else:
+            score = -prod
+        score = jnp.where(jnp.isnan(score), config.PAD_PENALTY, score)
+        return None, D.finalize_distance(score, xsqb, metric)
+
+    _, d_own = lax.scan(
+        body, None,
+        (x.reshape(nchunks, chunk, f), x_sq.reshape(nchunks, chunk),
+         a.reshape(nchunks, chunk)))
+    d_own = d_own.reshape(nl)
+    radii = jnp.zeros((k,), jnp.float32).at[a].max(
+        jnp.where(a < k, d_own, 0.0), mode="drop")
+    cd = D.pairwise_distance(c_ext[:-1], c_ext[:-1], metric)
+    sorder = jnp.argsort(a, stable=True).astype(jnp.int32)
+    return a, d_own, radii, cd, sorder
+
+
+@functools.lru_cache(maxsize=64)
+def _build_pruned_search(mesh, k_neighbors, n_clusters, metric, chunk,
+                         tile_m):
+    from kmcuda_tpu.ops import knn_prune as KP
+
+    fn = functools.partial(
+        KP.search, k_neighbors=k_neighbors, n_clusters=n_clusters,
+        metric=metric, chunk=chunk, tile_m=tile_m, axis_name=AXIS)
+    return jax.jit(jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS), P(AXIS), P(AXIS), P(None, None),
+                  P(None), P(None, None)),
+        out_specs=(P(AXIS, None), P(AXIS, None), P())))
+
+
+def run(problem, centroids, assignments, k_neighbors: int):
+    """k-NN of every sample, pruned via the k-means structure
+    (knn_cuda_calc, knn.cu:381-532).  Falls back to plain brute force when
+    the cluster structure cannot pay for itself."""
+    from kmcuda_tpu.ops import knn_prune as KP
+
     p = problem
-    tile_m = min(config.KNN_TILE_M, p.n_pad)
-    # member tiling must divide the padded size
+    # pruning granularity: aim for ~128 member tiles so a tile spans a
+    # fraction of a cluster (the reference prunes per cluster per sample;
+    # we prune per tile per query chunk)
+    tile_m = min(config.KNN_TILE_M, max(256, p.n_pad // 128))
     while p.n_pad % tile_m:
         tile_m //= 2
-    q_ids = p.topo.put_sharded(jnp.arange(p.n_pad, dtype=jnp.int32))
-    xm = p.topo.put_replicated(p.x)
-    m_valid = p.topo.put_replicated(p.valid)
-    search = _build_search(p.topo.mesh, k_neighbors, p.metric, p.chunk,
-                           tile_m)
-    nbr, dist = search(p.x, p.x_sq, q_ids, xm, m_valid)
-    return nbr, dist
+    n_tiles = p.n_pad // tile_m
+
+    if centroids is None or n_tiles < 2 or p.k < 2:
+        q_ids = p.topo.put_sharded(jnp.arange(p.n_pad, dtype=jnp.int32))
+        xm = p.topo.put_replicated(p.x)
+        m_valid = p.topo.put_replicated(p.valid)
+        search = _build_search(p.topo.mesh, k_neighbors, p.metric, p.chunk,
+                               tile_m)
+        nbr, dist = search(p.x, p.x_sq, q_ids, xm, m_valid)
+        p.logger.info("calculated 1.000000 of all the distances")
+        return nbr, dist
+
+    # finer query chunks than the k-means scan: the tile-skip test is
+    # per-chunk ("any query still needs this tile"), so smaller chunks
+    # prune more
+    q_chunk = config.KNN_TILE_Q if p.chunk % config.KNN_TILE_Q == 0 \
+        else p.chunk
+
+    cents = jnp.asarray(centroids, jnp.float32)
+    a, d_own, radii, cd, sorder = _cluster_structure(
+        p.x, p.x_sq, p.valid, assignments, cents, n_clusters=p.k,
+        metric=p.metric, chunk=p.chunk)
+    t_mat = KP.tile_bounds(
+        cd, radii, a[sorder], p.valid[sorder], n_tiles, tile_m)
+
+    # sorted layout: queries sharded, members replicated
+    xq = p.topo.put_sharded(p.x[sorder])
+    xq_sq = p.topo.put_sharded(p.x_sq[sorder])
+    q_own = p.topo.put_sharded(d_own[sorder])
+    q_assign = p.topo.put_sharded(a[sorder])
+    xm = p.topo.put_replicated(p.x[sorder])
+    m_valid = p.topo.put_replicated(p.valid[sorder])
+    t_mat = p.topo.put_replicated(t_mat)
+
+    search = _build_pruned_search(
+        p.topo.mesh, k_neighbors, p.k, p.metric, q_chunk, tile_m)
+    nbr_pos, dist, tiles = search(
+        xq, xq_sq, q_own, q_assign, xm, m_valid, t_mat)
+
+    frac = float(tiles) * q_chunk * tile_m / (float(p.n) ** 2)
+    # same progress line as the reference (knn.cu:521-530)
+    p.logger.info("calculated %f of all the distances" % min(frac, 1.0))
+
+    # map candidate sorted-positions back to original sample ids, and
+    # un-sort the query rows
+    nbr_orig = jnp.where(nbr_pos >= 0, sorder[jnp.maximum(nbr_pos, 0)],
+                         -1)
+    n_pad, kk = p.n_pad, k_neighbors
+    out_n = jnp.zeros((n_pad, kk), jnp.int32).at[sorder].set(nbr_orig)
+    out_d = jnp.zeros((n_pad, kk), jnp.float32).at[sorder].set(dist)
+    return out_n, out_d

@@ -60,3 +60,27 @@ def test_bad_k(samples, clustered):
         knn_tpu(0, samples, *clustered)
     with pytest.raises(TypeError):
         knn_tpu("ten", samples, *clustered)
+
+
+def test_pruning_reported(samples, clustered, capsys):
+    """The pruned path must report the examined fraction (the reference's
+    'calculated %f of all the distances' line, knn.cu:521-530) and it must
+    actually prune on clustered data."""
+    knn_tpu(10, samples, *clustered, device=1, verbosity=1)
+    out = capsys.readouterr().out
+    fracs = [float(line.split()[1]) for line in out.splitlines()
+             if line.startswith("calculated ")]
+    assert fracs and 0.0 < fracs[-1] < 0.9, out
+
+
+def test_cosine_knn(samples):
+    rng = np.random.RandomState(3)
+    x = rng.randn(6000, 8).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    c, a = kmeans_tpu(x, 32, seed=7, metric="cos", tolerance=0.01,
+                      yinyang_t=0, device=1)
+    nb = knn_tpu(5, x, c, a, metric="cos", device=1)
+    sims = x @ x.T
+    np.fill_diagonal(sims, -np.inf)
+    exact = np.argsort(-sims, axis=1, kind="stable")[:, :5]
+    assert (nb != exact).mean() < 0.01
