@@ -44,6 +44,11 @@ from kmcuda_tpu.utils.logging import Logger
 def _parse_metric(metric):
     if isinstance(metric, DistanceMetric):
         return metric
+    if isinstance(metric, int) and not isinstance(metric, bool):
+        try:
+            return DistanceMetric(metric)
+        except ValueError:
+            raise KMTPUInvalidArguments("unknown metric %r" % metric)
     if isinstance(metric, str):
         try:
             return metrics[metric]

@@ -55,39 +55,36 @@ def delta_sums(x, assign_new, assign_old, order, n_changed, *,
     """
     n, f = x.shape
     k = n_clusters
-    nchunks = n // chunk
     cluster_ids = lax.broadcasted_iota(jnp.uint32, (1, k), 1)
-    ordc = order.reshape(nchunks, chunk)
-    bases = jnp.arange(nchunks, dtype=jnp.int32) * chunk
-    offs = jnp.arange(chunk, dtype=jnp.int32)
+    offs = lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)[:, 0]
+    # dynamic trip count: a lax.scan over all chunks pays ~20us of step
+    # scaffolding each even for skipped chunks; a while_loop runs exactly
+    # ceil(n_changed / chunk) iterations
+    n_active = (n_changed + chunk - 1) // chunk
 
-    def body(carry, inp):
-        d_sums, d_counts = carry
-        ord_b, base = inp
+    def cond(carry):
+        return carry[0] < n_active
 
-        def active(args):
-            d_sums, d_counts = args
-            row_ok = (base + offs) < n_changed
-            idx = ord_b
-            anew = jnp.where(row_ok, assign_new[idx], jnp.uint32(k))
-            aold = jnp.where(row_ok, assign_old[idx], jnp.uint32(k))
-            xb = x[idx]
-            oh_new = (anew[:, None] == cluster_ids)
-            oh_old = (aold[:, None] == cluster_ids)
-            d_oh = oh_new.astype(x.dtype) - oh_old.astype(x.dtype)
-            d_sums = d_sums + jnp.dot(
-                d_oh.T, xb, preferred_element_type=jnp.float32)
-            d_counts = d_counts + (
-                jnp.sum(oh_new, axis=0, dtype=jnp.int32)
-                - jnp.sum(oh_old, axis=0, dtype=jnp.int32))
-            return d_sums, d_counts
-
-        carry = lax.cond(base < n_changed, active, lambda a: a,
-                         (d_sums, d_counts))
-        return carry, None
+    def body(carry):
+        i, d_sums, d_counts = carry
+        base = i * chunk
+        idx = lax.dynamic_slice(order, (base,), (chunk,))
+        row_ok = (base + offs) < n_changed
+        anew = jnp.where(row_ok, assign_new[idx], jnp.uint32(k))
+        aold = jnp.where(row_ok, assign_old[idx], jnp.uint32(k))
+        xb = x[idx]
+        oh_new = (anew[:, None] == cluster_ids)
+        oh_old = (aold[:, None] == cluster_ids)
+        d_oh = oh_new.astype(x.dtype) - oh_old.astype(x.dtype)
+        d_sums = d_sums + jnp.dot(
+            d_oh.T, xb, preferred_element_type=jnp.float32)
+        d_counts = d_counts + (
+            jnp.sum(oh_new, axis=0, dtype=jnp.int32)
+            - jnp.sum(oh_old, axis=0, dtype=jnp.int32))
+        return i + 1, d_sums, d_counts
 
     init = _mark_varying(
-        (jnp.zeros((k, f), jnp.float32), jnp.zeros((k,), jnp.int32)),
-        axis_name)
-    (d_sums, d_counts), _ = lax.scan(body, init, (ordc, bases))
+        (jnp.int32(0), jnp.zeros((k, f), jnp.float32),
+         jnp.zeros((k,), jnp.int32)), axis_name)
+    _, d_sums, d_counts = lax.while_loop(cond, body, init)
     return d_sums, d_counts

@@ -84,15 +84,23 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
     k, g, p = n_clusters, groups, group_cap
     nl, f = x.shape
     nchunks = nl // chunk
-    offs = jnp.arange(chunk, dtype=jnp.int32)
     iota_g = lax.broadcasted_iota(jnp.int32, (1, g), 1)
     iota_p = lax.broadcasted_iota(jnp.int32, (1, p), 1)
     pad_src_flat = pad_src.reshape(-1)
     pad_pen_flat = pad_pen.reshape(-1)
 
-    xs = x.reshape(nchunks, chunk, f)
-    xsqs = x_sq.reshape(nchunks, chunk)
-    vs = valid.reshape(nchunks, chunk)
+    # the cheap bounds pass touches every sample anyway; wider chunks
+    # amortize the per-scan-step scaffolding
+    cheap_mult = 1
+    for m in (8, 4, 2):
+        if nchunks % m == 0:
+            cheap_mult = m
+            break
+    cheap_chunk = chunk * cheap_mult
+    ncheap = nl // cheap_chunk
+    xc = x.reshape(ncheap, cheap_chunk, f)
+    xsqc = x_sq.reshape(ncheap, cheap_chunk)
+    vc = valid.reshape(ncheap, cheap_chunk)
 
     def cond(carry):
         it, changed = carry[5], carry[6]
@@ -155,62 +163,61 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
 
         _, (u3, l2, passed) = lax.scan(
             cheap, None,
-            (xs, xsqs, vs, assign.reshape(nchunks, chunk),
-             u.reshape(nchunks, chunk), l.reshape(nchunks, chunk, g)))
+            (xc, xsqc, vc, assign.reshape(ncheap, cheap_chunk),
+             u.reshape(ncheap, cheap_chunk),
+             l.reshape(ncheap, cheap_chunk, g)))
         u3 = u3.reshape(nl)
         l2 = l2.reshape(nl, g)
         passed = passed.reshape(nl)
 
         # ---- phase 2: local filter over the compacted passed set --------
+        # dynamic-trip-count while_loop: only ceil(passed/chunk) iterations
+        # execute (a full scan pays ~20us scaffolding per chunk even when
+        # every chunk is cond-skipped)
         order, n_passed = C.stable_partition(passed)
-        ordc = order.reshape(nchunks, chunk)
-        bases = jnp.arange(nchunks, dtype=jnp.int32) * chunk
+        n_active = (n_passed + chunk - 1) // chunk
 
-        def local(_, inp):
-            ord_b, base = inp
+        def lcond(carry):
+            return carry[0] < n_active
 
-            def active(_a):
-                idx = ord_b
-                xb = x[idx]
-                xsqb = x_sq[idx]
-                s = D.scores(xb, c_t, c_sq_pad, penalty, metric)
-                best, aid = D.argmin_lowest_index(s, orig_ids, k)
-                u_new = D.finalize_distance(best, xsqb, metric)
-                # group minima via lane-gather into the padded layout
-                sp = (jnp.take(s, pad_src_flat, axis=1) + pad_pen_flat
-                      ).reshape(chunk, g, p)
-                m1 = jnp.min(sp, axis=2)                      # (B, G)
-                # winner group: argmin of the group minima.  On an exact
-                # cross-group tie this may name the tied group instead of
-                # the assigned one; its lower bound then equals u, which
-                # forces a (safe) re-pass next iteration.  No gather: TPU
-                # small-table gathers are element-serial.
-                g_star = jnp.argmin(m1, axis=1)               # (B,)
-                ohg = (iota_g == g_star[:, None])             # (B, G)
-                spw = jnp.einsum("bg,bgp->bp", ohg.astype(jnp.float32),
-                                 sp)                          # (B, P)
-                j1 = jnp.argmin(spw, axis=1)
-                m2w = jnp.min(
-                    jnp.where(iota_p == j1[:, None],
-                              config.PAD_PENALTY, spw), axis=1)
-                l_sc = jnp.where(ohg, m2w[:, None], m1)
-                l_new = D.finalize_distance(l_sc, xsqb[:, None], metric)
-                return aid, u_new, l_new
+        def lbody(carry):
+            i, aid_all, u_all, l_all = carry
+            base = i * chunk
+            idx = lax.dynamic_slice(order, (base,), (chunk,))
+            xb = x[idx]
+            xsqb = x_sq[idx]
+            s = D.scores(xb, c_t, c_sq_pad, penalty, metric)
+            best, aid = D.argmin_lowest_index(s, orig_ids, k)
+            u_new = D.finalize_distance(best, xsqb, metric)
+            # group minima via lane-gather into the padded layout
+            sp = (jnp.take(s, pad_src_flat, axis=1) + pad_pen_flat
+                  ).reshape(chunk, g, p)
+            m1 = jnp.min(sp, axis=2)                      # (B, G)
+            # winner group: argmin of the group minima.  On an exact
+            # cross-group tie this may name the tied group instead of
+            # the assigned one; its lower bound then equals u, which
+            # forces a (safe) re-pass next iteration.  No gather: TPU
+            # small-table gathers are element-serial.
+            g_star = jnp.argmin(m1, axis=1)               # (B,)
+            ohg = (iota_g == g_star[:, None])             # (B, G)
+            spw = jnp.einsum("bg,bgp->bp", ohg.astype(jnp.float32),
+                             sp)                          # (B, P)
+            j1 = jnp.argmin(spw, axis=1)
+            m2w = jnp.min(
+                jnp.where(iota_p == j1[:, None],
+                          config.PAD_PENALTY, spw), axis=1)
+            l_sc = jnp.where(ohg, m2w[:, None], m1)
+            l_new = D.finalize_distance(l_sc, xsqb[:, None], metric)
+            return (i + 1,
+                    lax.dynamic_update_slice(aid_all, aid, (base,)),
+                    lax.dynamic_update_slice(u_all, u_new, (base,)),
+                    lax.dynamic_update_slice(l_all, l_new, (base, 0)))
 
-            def inactive(_a):
-                return _mark_varying(
-                    (jnp.zeros((chunk,), jnp.uint32),
-                     jnp.zeros((chunk,), jnp.float32),
-                     jnp.zeros((chunk, g), jnp.float32)), axis_name)
-
-            aid, u_new, l_new = lax.cond(
-                base < n_passed, active, inactive, None)
-            return None, (aid, u_new, l_new)
-
-        _, (aid_all, u_all, l_all) = lax.scan(local, None, (ordc, bases))
-        aid_all = aid_all.reshape(nl)
-        u_all = u_all.reshape(nl)
-        l_all = l_all.reshape(nl, g)
+        linit = _mark_varying(
+            (jnp.int32(0), jnp.zeros((nl,), jnp.uint32),
+             jnp.zeros((nl,), jnp.float32),
+             jnp.zeros((nl, g), jnp.float32)), axis_name)
+        _, aid_all, u_all, l_all = lax.while_loop(lcond, lbody, linit)
 
         # scatter local-filter results back; rows past n_passed dropped
         pos = jnp.arange(nl, dtype=jnp.int32)
