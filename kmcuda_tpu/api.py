@@ -27,6 +27,7 @@ Differences from the reference, by design:
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from kmcuda_tpu import config
@@ -141,9 +142,10 @@ def kmeans_tpu(samples, clusters, tolerance=0.01, init="k-means++",
     logger.debug("finished in %d iterations" % iters)
 
     out_c = _export(centroids, samples)
-    if not isinstance(samples, jax.Array) and \
-            np.dtype(samples.dtype) == np.float16:
-        out_c = out_c.astype(np.float16)
+    # half-precision in -> half-precision centroids out, like the reference
+    # returning float16 arrays in fp16x2 mode (python.cc:286-313)
+    if problem.dtype == jnp.bfloat16:
+        out_c = out_c.astype(samples.dtype)
     out_a = _export(assignments[:n], samples)
     if not isinstance(out_a, jax.Array):
         out_a = out_a.astype(np.uint32)

@@ -42,29 +42,29 @@ def _build_step(mesh, n_clusters, metric, chunk):
 
 
 @functools.lru_cache(maxsize=64)
-def _build_run(mesh, n_clusters, metric, chunk, max_iterations):
+def _build_run(mesh, n_clusters, metric, chunk):
     """shard_map + jit the whole on-device convergence loop."""
     fn = functools.partial(
         A.lloyd_run, n_clusters=n_clusters, metric=metric, chunk=chunk,
-        max_iterations=max_iterations, axis_name=AXIS)
+        axis_name=AXIS)
     mapped = jax.shard_map(
         fn, mesh=mesh,
         in_specs=(P(AXIS, None), P(AXIS), P(AXIS), P(AXIS), P(None, None),
-                  P()),
+                  P(), P()),
         out_specs=(P(None, None), P(AXIS), P(AXIS), P(), P()))
     return jax.jit(mapped, donate_argnums=(3,))
 
 
 @functools.lru_cache(maxsize=64)
-def _build_run_incremental(mesh, n_clusters, metric, chunk, max_iterations):
+def _build_run_incremental(mesh, n_clusters, metric, chunk):
     """shard_map + jit the incremental (delta-update) convergence loop."""
     fn = functools.partial(
         A.lloyd_run_incremental, n_clusters=n_clusters, metric=metric,
-        chunk=chunk, max_iterations=max_iterations, axis_name=AXIS)
+        chunk=chunk, axis_name=AXIS)
     mapped = jax.shard_map(
         fn, mesh=mesh,
         in_specs=(P(AXIS, None), P(AXIS), P(AXIS), P(AXIS), P(None, None),
-                  P(None, None), P(None), P()),
+                  P(None, None), P(None), P(), P()),
         out_specs=(P(None, None), P(AXIS), P(AXIS), P(None, None), P(None),
                    P(), P()))
     return jax.jit(mapped, donate_argnums=(3,))
@@ -83,8 +83,8 @@ def run_incremental(problem, centroids, assignments, tolerance,
     p = problem
     if max_iterations is None:
         max_iterations = config.DEFAULT_MAX_ITERATIONS
-    run_fn = _build_run_incremental(
-        p.topo.mesh, p.k, p.metric, p.chunk, max_iterations)
+    max_iterations = min(max_iterations, config.DEFAULT_MAX_ITERATIONS)
+    run_fn = _build_run_incremental(p.topo.mesh, p.k, p.metric, p.chunk)
     if sums is None:
         sums = p.topo.put_replicated(
             jnp.zeros((p.k, p.features), jnp.float32))
@@ -92,7 +92,7 @@ def run_incremental(problem, centroids, assignments, tolerance,
     tol_count = jnp.int32(int(tolerance * p.n))
     centroids, assignments, _best, sums, counts, it, changed_log = run_fn(
         p.x, p.x_sq, p.valid, assignments, centroids, sums, counts,
-        tol_count)
+        tol_count, jnp.int32(max_iterations))
     it = int(it)
     changed_log = np.asarray(jax.device_get(changed_log))[:it].tolist()
     for i, c in enumerate(changed_log):
@@ -157,10 +157,12 @@ def run(problem, centroids, assignments, tolerance, max_iterations=None,
     p = problem
     if max_iterations is None:
         max_iterations = config.DEFAULT_MAX_ITERATIONS
-    run_fn = _build_run(p.topo.mesh, p.k, p.metric, p.chunk, max_iterations)
+    max_iterations = min(max_iterations, config.DEFAULT_MAX_ITERATIONS)
+    run_fn = _build_run(p.topo.mesh, p.k, p.metric, p.chunk)
     tol_count = jnp.int32(int(tolerance * p.n))
     centroids, assignments, best, it, changed_log = run_fn(
-        p.x, p.x_sq, p.valid, assignments, centroids, tol_count)
+        p.x, p.x_sq, p.valid, assignments, centroids, tol_count,
+        jnp.int32(max_iterations))
     it = int(it)
     # one readback for the whole run; replay the reference's per-iteration
     # progress lines from the on-device log

@@ -34,17 +34,15 @@ from kmcuda_tpu.utils.logging import Logger
 
 
 @functools.lru_cache(maxsize=32)
-def _build_yy_run(mesh, n_clusters, groups, group_cap, metric, chunk,
-                  max_iterations):
+def _build_yy_run(mesh, n_clusters, groups, group_cap, metric, chunk):
     fn = functools.partial(
         YY.yy_run, n_clusters=n_clusters, groups=groups,
-        group_cap=group_cap, metric=metric, chunk=chunk,
-        max_iterations=max_iterations, axis_name=AXIS)
+        group_cap=group_cap, metric=metric, chunk=chunk, axis_name=AXIS)
     mapped = jax.shard_map(
         fn, mesh=mesh,
         in_specs=(P(AXIS, None), P(AXIS), P(AXIS), P(AXIS), P(None, None),
                   P(None, None), P(None), P(None, None), P(None, None),
-                  P()),
+                  P(None), P(), P()),
         out_specs=(P(None, None), P(AXIS), P(), P(), P()))
     return jax.jit(mapped, donate_argnums=(3,))
 
@@ -133,13 +131,15 @@ def run(problem, centroids, assignments, tolerance, groups,
                    % (cap, 100.0 * (groups * cap - p.k) / p.k))
 
     run_fn = _build_yy_run(p.topo.mesh, p.k, groups, cap, p.metric,
-                           p.chunk, max_iterations)
+                           p.chunk)
     tol_count = jnp.int32(int(tolerance * p.n))
     c_fin, assign, it, log_ch, log_pa = run_fn(
         p.x, p.x_sq, p.valid, assignments, centroids, sums, counts,
         p.topo.put_replicated(jnp.asarray(pad_src)),
         p.topo.put_replicated(jnp.asarray(pad_pen)),
-        tol_count)
+        p.topo.put_replicated(jnp.asarray(group_of)),
+        tol_count, jnp.int32(min(max_iterations,
+                                 config.DEFAULT_MAX_ITERATIONS)))
     it = int(it)
     log_ch = np.asarray(jax.device_get(log_ch))[:it]
     log_pa = np.asarray(jax.device_get(log_pa))[:it]

@@ -42,6 +42,10 @@ from jax import lax
 from kmcuda_tpu import config
 from kmcuda_tpu.ops import distance as D
 
+#: fixed size of the per-run iteration log buffer; max_iterations is a
+#: traced argument (no recompile per cap) bounded by this
+LOG_CAPACITY = config.DEFAULT_MAX_ITERATIONS
+
 
 def pad_clusters(centroids: jax.Array, storage_dtype) -> tuple:
     """Pad the cluster axis to a lane multiple.
@@ -141,12 +145,11 @@ def assign_pass(x, valid, centroids, *, n_clusters, metric, chunk):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_clusters", "metric", "chunk", "max_iterations",
-                     "axis_name"))
+    static_argnames=("n_clusters", "metric", "chunk", "axis_name"))
 def lloyd_run_incremental(x, x_sq, valid, prev_assign, centroids, sums,
-                          counts, tol_count, *, n_clusters: int,
-                          metric: D.DistanceMetric, chunk: int,
-                          max_iterations: int, axis_name=None):
+                          counts, tol_count, max_iterations, *,
+                          n_clusters: int, metric: D.DistanceMetric,
+                          chunk: int, axis_name=None):
     """On-device Lloyd loop with *incremental* centroid updates.
 
     This is the faithful port of the reference's update strategy: assign,
@@ -198,7 +201,7 @@ def lloyd_run_incremental(x, x_sq, valid, prev_assign, centroids, sums,
         (prev_assign, jnp.zeros((nl,), jnp.float32)), axis_name)
     init = (centroids, centroids, assign0, best0, sums, counts,
             jnp.int32(0), jnp.int32(jnp.iinfo(jnp.int32).max),
-            jnp.zeros((max_iterations,), jnp.int32))
+            jnp.zeros((LOG_CAPACITY,), jnp.int32))
     (c_used, _c_next, assign, best, sums, counts, it, _changed,
      log) = lax.while_loop(cond, body, init)
     return c_used, assign, best, sums, counts, it, log
@@ -234,11 +237,10 @@ def lloyd_step(x, x_sq, valid, prev_assign, centroids, *,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_clusters", "metric", "chunk", "max_iterations",
-                     "axis_name"))
-def lloyd_run(x, x_sq, valid, prev_assign, centroids, tol_count, *,
-              n_clusters: int, metric: D.DistanceMetric, chunk: int,
-              max_iterations: int, axis_name=None):
+    static_argnames=("n_clusters", "metric", "chunk", "axis_name"))
+def lloyd_run(x, x_sq, valid, prev_assign, centroids, tol_count,
+              max_iterations, *, n_clusters: int,
+              metric: D.DistanceMetric, chunk: int, axis_name=None):
     """Run Lloyd to convergence entirely on device.
 
     The reference pays one device->host sync per iteration to read the
@@ -272,7 +274,7 @@ def lloyd_run(x, x_sq, valid, prev_assign, centroids, tol_count, *,
         (prev_assign, jnp.zeros((nl,), jnp.float32)), axis_name)
     init = (centroids, centroids, assign0, best0, jnp.int32(0),
             jnp.int32(jnp.iinfo(jnp.int32).max),
-            jnp.zeros((max_iterations,), jnp.int32))
+            jnp.zeros((LOG_CAPACITY,), jnp.int32))
     c_used, _c_next, assign, best, it, _changed, log = lax.while_loop(
         cond, body, init)
     return c_used, assign, best, it, log

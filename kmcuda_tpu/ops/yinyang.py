@@ -1,38 +1,43 @@
 """Yinyang k-means iteration (reference: src/kmeans.cu:432-672, 1028-1263).
 
 State per sample: upper bound ``u`` on the distance to its assigned
-centroid and per-group lower bounds ``l[g]`` on the distance to any *other*
-centroid of group g (kmeans_yy_init, kmeans.cu:432-485).  Per iteration:
+centroid, per-group lower bounds ``l[g]`` on the distance to any *other*
+centroid of group g (kmeans_yy_init, kmeans.cu:432-485), and the group id
+of the assigned centroid.  Per iteration:
 
 1. adjust centroids from the running sums; per-centroid drift
    (kmeans_yy_calc_drifts, kmeans.cu:488-499) and per-group max drift
    (kmeans_yy_find_group_max_drifts, kmeans.cu:501-538);
-2. *global filter*: u += drift(own), l[g] -= group_drift[g]; samples with
-   u <= min_g l[g] provably keep their assignment.  Candidates tighten u to
-   the exact own-centroid distance and re-test (kmeans_yy_global_filter,
-   kmeans.cu:541-582);
-3. *local filter*: survivors get a full assignment pass that also yields
-   fresh exact bounds (kmeans_yy_local_filter, kmeans.cu:585-672).
+2. *global filter*: u += group_drift[own group], l[g] -= group_drift[g];
+   samples with u < min_g l[g] provably keep their assignment
+   (kmeans_yy_global_filter, kmeans.cu:541-582).  Using the group-level
+   drift for u (instead of the per-centroid drift the reference gathers) is
+   a looser-but-valid upper bound that avoids any per-sample x k work in
+   this pass — it touches only the (n, G) bounds;
+3. candidates are compacted and walked by a dynamic-trip-count loop that
+   first tightens u to the exact own-centroid distance (per-candidate F
+   work) and, only when some candidate in the chunk still passes, runs the
+   full *local filter* assignment matmul (kmeans_yy_local_filter,
+   kmeans.cu:585-672), which also yields fresh exact bounds.
 
 TPU-native design decisions:
 
 - The local filter's score matmul uses the SAME centroid column layout as
-  the Lloyd pass (``assign_pass``) — groups are NOT materialized as a
-  permuted centroid matrix.  Group minima come from a cheap lane-gather of
-  the score row into a padded (G, P) layout.  Identical matmuls mean
+  the Lloyd pass — groups are NOT materialized as a permuted centroid
+  matrix.  Group minima come from a cheap lane-gather of the score row into
+  a capacity-balanced padded (G, P) layout.  Identical matmuls mean
   bitwise-identical assignments between Lloyd and Yinyang by construction
   (the reference's parity guarantee, README.md:74-75).
-- The passed set is compacted with a stable partition and processed in
-  chunk-sized gathers; chunks past the passed count are skipped with
-  ``lax.cond`` — the analog of the reference's ``d_passed_number``
-  compaction (kmeans.cu:541-582), with no atomics.
-- Lower-bound bookkeeping per group uses min1/min2: the winning group's
-  bound is the second-smallest distance inside it (excluding the winner),
-  other groups use their minimum — same semantics as yy_init/local_filter.
+- Compaction is a cumsum stable partition (no atomics — the analog of the
+  reference's ``d_passed_number`` scatter); the candidate loop is a
+  ``lax.while_loop`` with trip count ceil(candidates / chunk), so skipped
+  work costs nothing (a full scan would pay per-chunk scaffolding).
+- Per-cluster value lookups on compacted chunks go through one-hot
+  matmuls: TPU gathers from small tables lower to element-serial code.
 - No explicit "bounds refresh" pass is needed (the reference re-runs
-  yy_init when almost everything passes, kmeans.cu:1117-1158): here every
-  passed sample gets exact bounds from the local filter, so a
-  nearly-all-passed iteration IS the refresh.
+  yy_init when almost everything passes, kmeans.cu:1117-1158): every passed
+  sample gets exact bounds from the local filter, so a nearly-all-passed
+  iteration IS the refresh.
 - Centroid updates are delta-updates over the compacted changed set
   (ops.compact.delta_sums), exactly like the reference's incremental
   kmeans_adjust — and bitwise identical to the incremental Lloyd path.
@@ -47,7 +52,7 @@ from jax import lax
 from kmcuda_tpu import config
 from kmcuda_tpu.ops import compact as C
 from kmcuda_tpu.ops import distance as D
-from kmcuda_tpu.ops.assign import _mark_varying, pad_clusters
+from kmcuda_tpu.ops.assign import LOG_CAPACITY, _mark_varying, pad_clusters
 
 
 def exact_drift(c_new, c_old, metric):
@@ -68,16 +73,16 @@ def exact_drift(c_new, c_old, metric):
 @functools.partial(
     jax.jit,
     static_argnames=("n_clusters", "groups", "group_cap", "metric", "chunk",
-                     "max_iterations", "axis_name"))
+                     "axis_name"))
 def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
-           pad_src, pad_pen, tol_count, *,
+           pad_src, pad_pen, group_of, tol_count, max_iterations, *,
            n_clusters: int, groups: int, group_cap: int,
-           metric: D.DistanceMetric, chunk: int, max_iterations: int,
-           axis_name=None):
+           metric: D.DistanceMetric, chunk: int, axis_name=None):
     """Run the Yinyang main loop on device.
 
     pad_src:  (G, P) int32 — centroid id per padded group slot (0 for pads).
     pad_pen:  (G, P) fp32 — 0 for real slots, +PAD_PENALTY for pads.
+    group_of: (K,) int32 — group of each centroid (== G for NaN centroids).
 
     Returns (centroids_used, assign, iterations, changed_log, passed_log).
     """
@@ -85,12 +90,16 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
     nl, f = x.shape
     nchunks = nl // chunk
     iota_g = lax.broadcasted_iota(jnp.int32, (1, g), 1)
+    iota_g1 = lax.broadcasted_iota(jnp.int32, (1, g + 1), 1)
     iota_p = lax.broadcasted_iota(jnp.int32, (1, p), 1)
+    iota_k1 = lax.broadcasted_iota(jnp.uint32, (1, k + 1), 1)
     pad_src_flat = pad_src.reshape(-1)
     pad_pen_flat = pad_pen.reshape(-1)
+    group_of_ext = jnp.concatenate(
+        [group_of, jnp.full((1,), g, jnp.int32)]).astype(jnp.float32)
 
-    # the cheap bounds pass touches every sample anyway; wider chunks
-    # amortize the per-scan-step scaffolding
+    # the bounds pass touches every sample anyway; wider chunks amortize
+    # the per-scan-step scaffolding
     cheap_mult = 1
     for m in (8, 4, 2):
         if nchunks % m == 0:
@@ -98,133 +107,151 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
             break
     cheap_chunk = chunk * cheap_mult
     ncheap = nl // cheap_chunk
-    xc = x.reshape(ncheap, cheap_chunk, f)
-    xsqc = x_sq.reshape(ncheap, cheap_chunk)
     vc = valid.reshape(ncheap, cheap_chunk)
+    offs = lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)[:, 0]
 
     def cond(carry):
-        it, changed = carry[5], carry[6]
+        it, changed = carry[6], carry[7]
         return (it == 0) | ((changed > tol_count) & (it < max_iterations))
 
-    iota_k1 = lax.broadcasted_iota(jnp.uint32, (1, k + 1), 1)
-
     def body(carry):
-        (c_cur, assign, u, l, sc, it, _changed, log_ch, log_pa) = carry
+        (c_cur, assign, gown, u, l, sc, it, _changed, log_ch,
+         log_pa) = carry
         sums, counts = sc
         first = it == 0
         c_new = D.normalize_centroids(
             sums, counts.astype(jnp.float32), metric)
         drift = exact_drift(c_new, c_cur, metric)
-        drift_ext = jnp.concatenate([drift, jnp.zeros((1,), jnp.float32)])
         gdrift = jnp.max(
             jnp.where(pad_pen > 0, 0.0, drift[pad_src]), axis=1)
+        gdrift_ext = jnp.concatenate(
+            [gdrift, jnp.zeros((1,), jnp.float32)])
         c_new_ext = jnp.concatenate(
             [c_new, jnp.zeros((1, f), jnp.float32)])
         c_sq_ext = jnp.concatenate(
             [D.row_sq_norms(c_new), jnp.zeros((1,), jnp.float32)])
         c_t, c_sq_pad, penalty, orig_ids = pad_clusters(c_new, x.dtype)
 
-        # ---- phase 1: drift the bounds, global filter, tighten u --------
-        # all per-cluster lookups go through a one-hot matmul: TPU gathers
-        # from small tables lower to element-serial code (~1 ms per lookup
-        # at 100K samples), while the MXU does the same lookup in ~us.
+        # ---- phase 1: drift the bounds, global filter ------------------
+        # touches only the (n, G) bounds: the u update uses the *group*
+        # max drift (a valid upper bound on the assigned centroid's drift)
+        # looked up through a tiny (B, G+1) one-hot
         def cheap(_, inp):
-            xb, xsqb, vb, ab, ub, lb = inp
-            oh = (ab[:, None] == iota_k1)
-            ohf = oh.astype(jnp.float32)
-            drift_b = ohf @ drift_ext
-            u2 = ub + drift_b
+            vb, gb, ub, lb = inp
+            ghot = (gb[:, None] == iota_g1).astype(jnp.float32)
+            u2 = ub + ghot @ gdrift_ext
             l2 = lb - gdrift[None, :]
             lmin = jnp.min(l2, axis=1)
-            # '>=', not '>': when sqrt collapses a knife-edge score tie to
-            # equal distances, the sample must still reach the local filter
+            # '>=', not '>': a knife-edge tie must reach the local filter
             # so its score-space argmin matches Lloyd's exactly
-            cand = vb & (u2 >= lmin)
-            cb = jnp.dot(oh.astype(x.dtype), c_new_ext.astype(x.dtype),
-                         preferred_element_type=jnp.float32)
-            prod = jnp.sum(xb.astype(jnp.float32) * cb, axis=1)
-            if metric == D.DistanceMetric.L2:
-                score = (ohf @ c_sq_ext) - 2.0 * prod
-            else:
-                score = -prod
-            score = jnp.where(jnp.isnan(score), config.PAD_PENALTY, score)
-            # safety margin: this rowwise dot rounds differently than the
-            # local filter's matmul; pad the upper bound so a sample is
-            # never skipped on ulp noise (false passes are recomputed
-            # exactly, so they cost time, never correctness)
-            if metric == D.DistanceMetric.L2:
-                score = score + 4e-6 * (xsqb + jnp.abs(score))
-            else:
-                score = score + 4e-6
-            u_ex = D.finalize_distance(score, xsqb, metric)
-            u3 = jnp.where(cand, u_ex, u2)
-            passed = vb & (first | (cand & (u3 >= lmin)))
-            return None, (u3, l2, passed)
+            cand = vb & (first | (u2 >= lmin))
+            return None, (u2, l2, lmin, cand)
 
-        _, (u3, l2, passed) = lax.scan(
+        _, (u2, l2, lmin_all, cand) = lax.scan(
             cheap, None,
-            (xc, xsqc, vc, assign.reshape(ncheap, cheap_chunk),
+            (vc, gown.reshape(ncheap, cheap_chunk),
              u.reshape(ncheap, cheap_chunk),
              l.reshape(ncheap, cheap_chunk, g)))
-        u3 = u3.reshape(nl)
+        u2 = u2.reshape(nl)
         l2 = l2.reshape(nl, g)
-        passed = passed.reshape(nl)
+        lmin_all = lmin_all.reshape(nl)
+        cand = cand.reshape(nl)
 
-        # ---- phase 2: local filter over the compacted passed set --------
-        # dynamic-trip-count while_loop: only ceil(passed/chunk) iterations
-        # execute (a full scan pays ~20us scaffolding per chunk even when
-        # every chunk is cond-skipped)
-        order, n_passed = C.stable_partition(passed)
-        n_active = (n_passed + chunk - 1) // chunk
+        # ---- phase 2: tighten + local filter over compacted candidates --
+        order, n_cand = C.stable_partition(cand)
+        n_active = (n_cand + chunk - 1) // chunk
 
         def lcond(carry):
             return carry[0] < n_active
 
         def lbody(carry):
-            i, aid_all, u_all, l_all = carry
+            (i, aid_all, u_all, l_all, gown_all, n_passed) = carry
             base = i * chunk
             idx = lax.dynamic_slice(order, (base,), (chunk,))
+            row_ok = (base + offs) < n_cand
             xb = x[idx]
             xsqb = x_sq[idx]
-            s = D.scores(xb, c_t, c_sq_pad, penalty, metric)
-            best, aid = D.argmin_lowest_index(s, orig_ids, k)
-            u_new = D.finalize_distance(best, xsqb, metric)
-            # group minima via lane-gather into the padded layout
-            sp = (jnp.take(s, pad_src_flat, axis=1) + pad_pen_flat
-                  ).reshape(chunk, g, p)
-            m1 = jnp.min(sp, axis=2)                      # (B, G)
-            # winner group: argmin of the group minima.  On an exact
-            # cross-group tie this may name the tied group instead of
-            # the assigned one; its lower bound then equals u, which
-            # forces a (safe) re-pass next iteration.  No gather: TPU
-            # small-table gathers are element-serial.
-            g_star = jnp.argmin(m1, axis=1)               # (B,)
-            ohg = (iota_g == g_star[:, None])             # (B, G)
-            spw = jnp.einsum("bg,bgp->bp", ohg.astype(jnp.float32),
-                             sp)                          # (B, P)
-            j1 = jnp.argmin(spw, axis=1)
-            m2w = jnp.min(
-                jnp.where(iota_p == j1[:, None],
-                          config.PAD_PENALTY, spw), axis=1)
-            l_sc = jnp.where(ohg, m2w[:, None], m1)
-            l_new = D.finalize_distance(l_sc, xsqb[:, None], metric)
+            ab = jnp.where(row_ok, assign[idx], jnp.uint32(k))
+            gb = gown[idx]
+            lminb = lmin_all[idx]
+            # exact distance to the (adjusted) own centroid — the
+            # reference's global-filter tightening (kmeans.cu:541-582)
+            oh1 = (ab[:, None] == iota_k1)
+            cb = jnp.dot(oh1.astype(x.dtype), c_new_ext.astype(x.dtype),
+                         preferred_element_type=jnp.float32)
+            prod = jnp.sum(xb.astype(jnp.float32) * cb, axis=1)
+            if metric == D.DistanceMetric.L2:
+                score = (oh1.astype(jnp.float32) @ c_sq_ext) - 2.0 * prod
+                # margin: this rowwise dot rounds differently than the
+                # filter matmul; never skip on ulp noise
+                score = score + 4e-6 * (xsqb + jnp.abs(score))
+            else:
+                score = -prod + 4e-6
+            score = jnp.where(jnp.isnan(score), config.PAD_PENALTY, score)
+            u_ex = D.finalize_distance(score, xsqb, metric)
+            passed_b = row_ok & (u_ex >= lminb)
+            n_passed = n_passed + jnp.sum(passed_b, dtype=jnp.int32)
+
+            def full(_):
+                s = D.scores(xb, c_t, c_sq_pad, penalty, metric)
+                best, aid = D.argmin_lowest_index(s, orig_ids, k)
+                u_new = D.finalize_distance(best, xsqb, metric)
+                # group minima via lane-gather into the padded layout
+                sp = (jnp.take(s, pad_src_flat, axis=1) + pad_pen_flat
+                      ).reshape(chunk, g, p)
+                m1 = jnp.min(sp, axis=2)
+                g_min = jnp.argmin(m1, axis=1)
+                ohg = (iota_g == g_min[:, None])
+                spw = jnp.einsum("bg,bgp->bp", ohg.astype(jnp.float32), sp)
+                j1 = jnp.argmin(spw, axis=1)
+                m2w = jnp.min(
+                    jnp.where(iota_p == j1[:, None],
+                              config.PAD_PENALTY, spw), axis=1)
+                l_sc = jnp.where(ohg, m2w[:, None], m1)
+                l_new = D.finalize_distance(l_sc, xsqb[:, None], metric)
+                # true group of the winner (exact even on cross-group
+                # ties), via one-hot matvec
+                oha = (aid[:, None] == iota_k1).astype(jnp.float32)
+                g_new = (oha @ group_of_ext).astype(jnp.int32)
+                return aid, u_new, l_new, g_new
+
+            def tightened_only(_):
+                # l/g placeholders: the merge below only reads them where
+                # passed_b, which is all-false in this branch
+                zl, zg = _mark_varying(
+                    (jnp.zeros((chunk, g), jnp.float32),
+                     jnp.zeros((chunk,), jnp.int32)), axis_name)
+                return ab, u_ex, zl, zg
+
+            aid_n, u_n, l_n, g_n = lax.cond(
+                jnp.any(passed_b), full, tightened_only, None)
+            # candidates that failed the tightened test keep everything
+            # but the (tighter, exact) upper bound
+            aid_m = jnp.where(passed_b, aid_n, ab)
+            u_m = jnp.where(passed_b, u_n, u_ex)
+            l_m = jnp.where(passed_b[:, None], l_n, l2[idx])
+            g_m = jnp.where(passed_b, g_n, gb)
             return (i + 1,
-                    lax.dynamic_update_slice(aid_all, aid, (base,)),
-                    lax.dynamic_update_slice(u_all, u_new, (base,)),
-                    lax.dynamic_update_slice(l_all, l_new, (base, 0)))
+                    lax.dynamic_update_slice(aid_all, aid_m, (base,)),
+                    lax.dynamic_update_slice(u_all, u_m, (base,)),
+                    lax.dynamic_update_slice(l_all, l_m, (base, 0)),
+                    lax.dynamic_update_slice(gown_all, g_m, (base,)),
+                    n_passed)
 
         linit = _mark_varying(
             (jnp.int32(0), jnp.zeros((nl,), jnp.uint32),
-             jnp.zeros((nl,), jnp.float32),
-             jnp.zeros((nl, g), jnp.float32)), axis_name)
-        _, aid_all, u_all, l_all = lax.while_loop(lcond, lbody, linit)
+             jnp.zeros((nl,), jnp.float32), jnp.zeros((nl, g), jnp.float32),
+             jnp.zeros((nl,), jnp.int32), jnp.int32(0)), axis_name)
+        (_i, aid_all, u_all, l_all, gown_all, passed_n) = lax.while_loop(
+            lcond, lbody, linit)
 
-        # scatter local-filter results back; rows past n_passed dropped
+        # scatter candidate results back; rows past n_cand dropped
         pos = jnp.arange(nl, dtype=jnp.int32)
-        tgt = jnp.where(pos < n_passed, order, nl)
+        tgt = jnp.where(pos < n_cand, order, nl)
         assign2 = assign.at[tgt].set(aid_all, mode="drop")
-        u4 = u3.at[tgt].set(u_all, mode="drop")
+        u4 = u2.at[tgt].set(u_all, mode="drop")
         l4 = l2.at[tgt].set(l_all, mode="drop")
+        gown2 = gown.at[tgt].set(gown_all, mode="drop")
 
         # ---- phase 3: incremental centroid update from the moved set ----
         morder, n_moved = C.stable_partition(assign2 != assign)
@@ -232,7 +259,6 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
             x, assign2, assign, morder, n_moved, n_clusters=k, chunk=chunk,
             axis_name=axis_name)
         changed2 = n_moved
-        passed_n = jnp.sum(passed, dtype=jnp.int32)
         if axis_name is not None:
             d_sums = lax.psum(d_sums, axis_name)
             d_counts = lax.psum(d_counts, axis_name)
@@ -240,16 +266,21 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
             passed_n = lax.psum(passed_n, axis_name)
         log_ch = log_ch.at[it].set(changed2)
         log_pa = log_pa.at[it].set(passed_n)
-        return (c_new, assign2, u4, l4, (sums + d_sums, counts + d_counts),
-                it + 1, changed2, log_ch, log_pa)
+        return (c_new, assign2, gown2, u4, l4,
+                (sums + d_sums, counts + d_counts), it + 1, changed2,
+                log_ch, log_pa)
 
-    assign0, u0, l0 = _mark_varying(
-        (assign0, jnp.zeros((nl,), jnp.float32),
+    # initial per-sample group ids (one small-table gather, once per run)
+    gown0 = jnp.concatenate(
+        [group_of, jnp.full((1,), g, jnp.int32)])[
+        jnp.minimum(assign0, jnp.uint32(k)).astype(jnp.int32)]
+    assign0, gown0, u0, l0 = _mark_varying(
+        (assign0, gown0, jnp.zeros((nl,), jnp.float32),
          jnp.zeros((nl, g), jnp.float32)), axis_name)
-    init = (centroids0, assign0, u0, l0, (sums0, counts0), jnp.int32(0),
-            jnp.int32(jnp.iinfo(jnp.int32).max),
-            jnp.zeros((max_iterations,), jnp.int32),
-            jnp.zeros((max_iterations,), jnp.int32))
-    (c_cur, assign, _u, _l, _sc, it, _changed, log_ch, log_pa) = \
+    init = (centroids0, assign0, gown0, u0, l0, (sums0, counts0),
+            jnp.int32(0), jnp.int32(jnp.iinfo(jnp.int32).max),
+            jnp.zeros((LOG_CAPACITY,), jnp.int32),
+            jnp.zeros((LOG_CAPACITY,), jnp.int32))
+    (c_cur, assign, _gown, _u, _l, _sc, it, _changed, log_ch, log_pa) = \
         lax.while_loop(cond, body, init)
     return c_cur, assign, it, log_ch, log_pa

@@ -221,3 +221,54 @@ class TestHalf:
                                   average_distance=True)
             ads.append(ad)
         assert abs(ads[0] - ads[1]) / ads[1] < 0.05
+
+
+class TestEdges:
+    def test_two_clusters_minimal(self):
+        x = np.array([[0., 0.], [0., 1.], [10., 10.], [10., 11.]],
+                     dtype=np.float32)
+        c, a = kmeans_tpu(x, 2, init="random", seed=1, tolerance=0.01,
+                          yinyang_t=0, device=1)
+        assert a[0] == a[1] and a[2] == a[3] and a[0] != a[2]
+
+    def test_n_equals_clusters(self):
+        rng = np.random.RandomState(1)
+        x = rng.rand(8, 3).astype(np.float32) * 10
+        c, a = kmeans_tpu(x, 8, init="random", seed=1, tolerance=0.0,
+                          yinyang_t=0, device=1, max_iterations=50)
+        assert len(np.unique(a)) == 8
+
+    def test_second_device_only(self, samples):
+        """device=2 selects only the second device (kmcuda.cc:65-71)."""
+        c, a = kmeans_tpu(samples, 50, init="random", seed=3,
+                          tolerance=0.05, yinyang_t=0, device=2)
+        assert c.shape == (50, 2)
+
+    def test_seed_none(self, samples):
+        c, a = kmeans_tpu(samples, 50, init="random", tolerance=0.05,
+                          yinyang_t=0, device=1)
+        assert c.shape == (50, 2)
+
+    def test_bfloat16_input(self, samples):
+        import jax.numpy as jnp
+        x = jnp.asarray(samples, jnp.bfloat16)
+        c, a = kmeans_tpu(x, 50, init="random", seed=3, tolerance=0.05,
+                          yinyang_t=0, device=1)
+        assert c.dtype == jnp.bfloat16
+
+    def test_import_wrong_shape(self, samples):
+        with pytest.raises(ValueError):
+            kmeans_tpu(samples, 50, init=np.zeros((49, 2), np.float32),
+                       yinyang_t=0, device=1)
+
+    def test_average_distance_golden(self, samples):
+        """Seed-locked average_distance, the analog of the reference's R
+        golden 0.2124216 +- 1e-7 (test.R:66-74).  Pinned from the first
+        CPU-8 run."""
+        _, _, ad = kmeans_tpu(samples, 50, init="kmeans++", seed=777,
+                              tolerance=0.01, yinyang_t=0, device=1,
+                              average_distance=True)
+        assert ad == pytest.approx(GOLDEN_AVG_DISTANCE, abs=2e-6)
+
+
+GOLDEN_AVG_DISTANCE = 0.1821749
