@@ -141,14 +141,18 @@ def kmeans_tpu(samples, clusters, tolerance=0.01, init="k-means++",
             max_iterations=max_iterations)
     logger.debug("finished in %d iterations" % iters)
 
-    out_c = _export(centroids, samples)
-    # half-precision in -> half-precision centroids out, like the reference
-    # returning float16 arrays in fp16x2 mode (python.cc:286-313)
-    if problem.dtype == jnp.bfloat16:
-        out_c = out_c.astype(samples.dtype)
-    out_a = _export(assignments[:n], samples)
-    if not isinstance(out_a, jax.Array):
-        out_a = out_a.astype(np.uint32)
+    if isinstance(samples, jax.Array):
+        out_c = centroids
+        if problem.dtype == jnp.bfloat16:
+            out_c = out_c.astype(samples.dtype)
+        out_a = assignments[:n]
+    else:
+        # single fused host transfer for both outputs
+        out_c, out_a = jax.device_get((centroids, assignments[:n]))
+        out_c = np.asarray(out_c)
+        if problem.dtype == jnp.bfloat16:
+            out_c = out_c.astype(samples.dtype)
+        out_a = np.asarray(out_a).astype(np.uint32)
     if not average_distance:
         return out_c, out_a
     ad = L.mean_assigned_distance(problem, centroids, assignments)

@@ -81,3 +81,8 @@ ASSIGN_TILE_F = 512
 #: K-nn brute-force / pruned search tiles.
 KNN_TILE_Q = 512
 KNN_TILE_M = 2048
+
+#: Use the fused Pallas assignment kernel for the Lloyd hot loop when the
+#: problem shape supports it (ops/assign_pallas.py).  Interpreted on
+#: non-TPU backends.
+USE_PALLAS_ASSIGN = False

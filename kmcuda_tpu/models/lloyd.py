@@ -42,11 +42,12 @@ def _build_step(mesh, n_clusters, metric, chunk):
 
 
 @functools.lru_cache(maxsize=64)
-def _build_run(mesh, n_clusters, metric, chunk):
+def _build_run(mesh, n_clusters, metric, chunk, use_pallas=False):
     """shard_map + jit the whole on-device convergence loop."""
     fn = functools.partial(
         A.lloyd_run, n_clusters=n_clusters, metric=metric, chunk=chunk,
-        axis_name=AXIS)
+        axis_name=AXIS, use_pallas=use_pallas,
+        interpret=jax.default_backend() != "tpu")
     mapped = jax.shard_map(
         fn, mesh=mesh,
         in_specs=(P(AXIS, None), P(AXIS), P(AXIS), P(AXIS), P(None, None),
@@ -93,8 +94,9 @@ def run_incremental(problem, centroids, assignments, tolerance,
     centroids, assignments, _best, sums, counts, it, changed_log = run_fn(
         p.x, p.x_sq, p.valid, assignments, centroids, sums, counts,
         tol_count, jnp.int32(max_iterations))
+    it, changed_log = jax.device_get((it, changed_log))
     it = int(it)
-    changed_log = np.asarray(jax.device_get(changed_log))[:it].tolist()
+    changed_log = changed_log[:it].tolist()
     for i, c in enumerate(changed_log):
         p.logger.iteration(iter_offset + i + 1, c)
     return centroids, assignments, sums, counts, it, \
@@ -140,7 +142,13 @@ def mean_assigned_distance(problem, centroids, assignments) -> float:
 
 def new_assignments(problem) -> jax.Array:
     """Fresh 'never assigned' vector (cluster id == k, the invalid marker —
-    the id NaN samples keep forever, kmeans.cu:276-284)."""
+    the id NaN samples keep forever, kmeans.cu:276-284).  The prepare pass
+    pre-builds one (saving a dispatch on the common path); it is donated to
+    the first run, so later calls allocate a new one."""
+    a = problem.assign0
+    if a is not None and not a.is_deleted():
+        problem.assign0 = None
+        return a
     return problem.topo.put_sharded(
         jnp.full((problem.n_pad,), problem.k, jnp.uint32))
 
@@ -158,15 +166,18 @@ def run(problem, centroids, assignments, tolerance, max_iterations=None,
     if max_iterations is None:
         max_iterations = config.DEFAULT_MAX_ITERATIONS
     max_iterations = min(max_iterations, config.DEFAULT_MAX_ITERATIONS)
-    run_fn = _build_run(p.topo.mesh, p.k, p.metric, p.chunk)
+    from kmcuda_tpu.ops import assign_pallas as AP
+    use_pallas = config.USE_PALLAS_ASSIGN and AP.supported(p.k, p.features)
+    run_fn = _build_run(p.topo.mesh, p.k, p.metric, p.chunk, use_pallas)
     tol_count = jnp.int32(int(tolerance * p.n))
     centroids, assignments, best, it, changed_log = run_fn(
         p.x, p.x_sq, p.valid, assignments, centroids, tol_count,
         jnp.int32(max_iterations))
-    it = int(it)
     # one readback for the whole run; replay the reference's per-iteration
     # progress lines from the on-device log
-    changed_log = np.asarray(jax.device_get(changed_log))[:it].tolist()
+    it, changed_log = jax.device_get((it, changed_log))
+    it = int(it)
+    changed_log = changed_log[:it].tolist()
     for i, c in enumerate(changed_log):
         p.logger.iteration(iter_offset + i + 1, c)
     return centroids, assignments, best, it, \

@@ -44,19 +44,23 @@ class Problem:
     x: jax.Array          # (n_pad, F) cleaned, storage dtype, dp-sharded
     x_sq: jax.Array       # (n_pad,) fp32 squared norms, dp-sharded
     valid: jax.Array      # (n_pad,) bool, dp-sharded
+    assign0: jax.Array    # (n_pad,) uint32 fresh 'never assigned' vector
     n_valid: int          # number of valid (finite, non-pad) rows
 
 
-@functools.partial(jax.jit, static_argnames=("n", "dtype"))
-def _clean(x_pad, *, n, dtype):
-    """valid-mask, zero-fill invalid rows, squared norms (one fused pass)."""
+@functools.partial(jax.jit, static_argnames=("n", "k", "dtype"))
+def _clean(x_pad, *, n, k, dtype):
+    """valid-mask, zero-fill invalid rows, squared norms, and the fresh
+    'never assigned' vector (id == k, the invalid marker NaN samples keep
+    forever, kmeans.cu:276-284) — one fused pass, one dispatch."""
     rows = lax.broadcasted_iota(jnp.int32, (x_pad.shape[0], 1), 0)[:, 0]
     finite = jnp.all(jnp.isfinite(x_pad.astype(jnp.float32)), axis=1)
     valid = finite & (rows < n)
     x_clean = jnp.where(valid[:, None], x_pad, 0).astype(dtype)
     xf = x_clean.astype(jnp.float32)
     x_sq = jnp.sum(xf * xf, axis=1)
-    return x_clean, x_sq, valid, jnp.sum(valid, dtype=jnp.int32)
+    assign0 = jnp.full((x_pad.shape[0],), k, jnp.uint32)
+    return x_clean, x_sq, valid, assign0, jnp.sum(valid, dtype=jnp.int32)
 
 
 def storage_dtype_for(samples_dtype) -> object:
@@ -93,7 +97,7 @@ def prepare(samples, k: int, metric: DistanceMetric, topo: Topology,
             x_pad = arr
     x_pad = jax.device_put(x_pad, topo.sharded(2))
 
-    x, x_sq, valid, n_valid = _clean(x_pad, n=n, dtype=dtype)
+    x, x_sq, valid, assign0, n_valid = _clean(x_pad, n=n, k=k, dtype=dtype)
     n_valid = int(n_valid)
     logger.debug("prepared problem: n=%d (pad %d, chunk %d), features=%d, "
                  "k=%d, dtype=%s, devices=%d, valid=%d"
@@ -102,4 +106,4 @@ def prepare(samples, k: int, metric: DistanceMetric, topo: Topology,
     return Problem(topo=topo, logger=logger, n=n, n_pad=n_pad,
                    features=features, k=k, metric=metric, chunk=chunk,
                    dtype=dtype, x=x, x_sq=x_sq, valid=valid,
-                   n_valid=n_valid)
+                   assign0=assign0, n_valid=n_valid)

@@ -42,7 +42,7 @@ def _build_yy_run(mesh, n_clusters, groups, group_cap, metric, chunk):
         fn, mesh=mesh,
         in_specs=(P(AXIS, None), P(AXIS), P(AXIS), P(AXIS), P(None, None),
                   P(None, None), P(None), P(None, None), P(None, None),
-                  P(None), P(), P()),
+                  P(), P()),
         out_specs=(P(None, None), P(AXIS), P(), P(), P()))
     return jax.jit(mapped, donate_argnums=(3,))
 
@@ -137,12 +137,12 @@ def run(problem, centroids, assignments, tolerance, groups,
         p.x, p.x_sq, p.valid, assignments, centroids, sums, counts,
         p.topo.put_replicated(jnp.asarray(pad_src)),
         p.topo.put_replicated(jnp.asarray(pad_pen)),
-        p.topo.put_replicated(jnp.asarray(group_of)),
         tol_count, jnp.int32(min(max_iterations,
                                  config.DEFAULT_MAX_ITERATIONS)))
+    it, log_ch, log_pa = jax.device_get((it, log_ch, log_pa))
     it = int(it)
-    log_ch = np.asarray(jax.device_get(log_ch))[:it]
-    log_pa = np.asarray(jax.device_get(log_pa))[:it]
+    log_ch = log_ch[:it]
+    log_pa = log_pa[:it]
     for i in range(it):
         p.logger.iteration(it0 + i + 1, int(log_ch[i]))
         p.logger.debug("yinyang: %d samples passed the global filter"

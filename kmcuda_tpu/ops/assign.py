@@ -78,8 +78,22 @@ def _mark_varying(tree, axis_name):
 
 
 def _assign_update_pass(x, x_sq, valid, prev_assign, centroids, *,
-                        n_clusters, metric, chunk, axis_name):
+                        n_clusters, metric, chunk, axis_name,
+                        use_pallas=False, interpret=False):
     """The fused single-pass body shared by lloyd_step and lloyd_run."""
+    if use_pallas:
+        from kmcuda_tpu.ops import assign_pallas as AP
+
+        aid, best, sums, counts, changed = AP.fused_lloyd_pass(
+            x, valid, prev_assign, centroids, n_clusters=n_clusters,
+            metric=metric, tile=chunk, interpret=interpret)
+        if axis_name is not None:
+            sums = lax.psum(sums, axis_name)
+            counts = lax.psum(counts, axis_name)
+            changed = lax.psum(changed, axis_name)
+        new_centroids = D.normalize_centroids(
+            sums, counts.astype(jnp.float32), metric)
+        return new_centroids, aid, best, changed
     nl, f = x.shape
     k = n_clusters
     c_t, c_sq, penalty, orig_ids = pad_clusters(centroids, x.dtype)
@@ -237,10 +251,12 @@ def lloyd_step(x, x_sq, valid, prev_assign, centroids, *,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_clusters", "metric", "chunk", "axis_name"))
+    static_argnames=("n_clusters", "metric", "chunk", "axis_name",
+                     "use_pallas", "interpret"))
 def lloyd_run(x, x_sq, valid, prev_assign, centroids, tol_count,
               max_iterations, *, n_clusters: int,
-              metric: D.DistanceMetric, chunk: int, axis_name=None):
+              metric: D.DistanceMetric, chunk: int, axis_name=None,
+              use_pallas=False, interpret=False):
     """Run Lloyd to convergence entirely on device.
 
     The reference pays one device->host sync per iteration to read the
@@ -263,7 +279,8 @@ def lloyd_run(x, x_sq, valid, prev_assign, centroids, tol_count,
         _c_used, c_cur, assign, _best, it, _changed, log = carry
         c_adj, assign2, best2, changed2 = _assign_update_pass(
             x, x_sq, valid, assign, c_cur, n_clusters=n_clusters,
-            metric=metric, chunk=chunk, axis_name=axis_name)
+            metric=metric, chunk=chunk, axis_name=axis_name,
+            use_pallas=use_pallas, interpret=interpret)
         log = log.at[it].set(changed2)
         return (c_cur, c_adj, assign2, best2, it + 1, changed2, log)
 

@@ -1,0 +1,145 @@
+"""Pallas fused Lloyd pass: the whole iteration as one Mosaic kernel.
+
+The XLA scan version (ops.assign._assign_update_pass) materializes each
+(chunk, K) score block in HBM between the distance matmul and the argmin /
+one-hot update.  This kernel keeps the block in VMEM: per sample tile it
+
+  1. computes scores on the MXU (``|c|^2 - 2 <x, c>`` form, fp32 accum),
+  2. reduces min + lowest-index argmin across lanes (the tie-break that
+     keeps Lloyd == Yinyang bitwise, see ops.distance.argmin_lowest_index),
+  3. accumulates the one-hot centroid segment-sum and counts into
+     grid-persistent VMEM accumulators,
+  4. bumps the reassignment counter in SMEM.
+
+This is the TPU-native analog of the reference's fused
+``kmeans_assign_lloyd`` + ``kmeans_adjust`` pair (kmeans.cu:215-429), with
+the centroid tile resident in VMEM playing the role of the ``cstep``
+shared-memory staging (kmeans.cu:243-258).
+
+Constraints: the full (F, Kp) centroid panel and one (TS, Kp) score block
+must fit VMEM, so this path engages when K and F are moderate
+(K <= 4096, F <= 512 by default); larger shapes fall back to the XLA scan.
+Non-TPU backends run the kernel in interpreter mode (tests on the CPU
+mesh).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from kmcuda_tpu import config
+from kmcuda_tpu.ops import distance as D
+from kmcuda_tpu.ops.assign import pad_clusters
+
+#: engage the Pallas kernel only below these shape bounds (VMEM budget)
+MAX_PALLAS_K = 4096
+MAX_PALLAS_F = 512
+
+
+def supported(n_clusters: int, features: int) -> bool:
+    return (-(-n_clusters // config.LANE) * config.LANE <= MAX_PALLAS_K
+            and features <= MAX_PALLAS_F)
+
+
+def _kernel(x_ref, ct_ref, csqpen_ref, ids_ref, valid_ref, prev_ref,
+            aid_ref, best_ref, sums_ref, counts_ref, changed_ref, *,
+            n_clusters: int):
+    i = pl.program_id(0)
+    k = n_clusters
+
+    s = jnp.dot(x_ref[:], ct_ref[:], preferred_element_type=jnp.float32)
+    s = s + csqpen_ref[:]                 # csq + pad penalty, (1, Kp)
+    s = jnp.where(jnp.isnan(s), config.PAD_PENALTY, s)
+
+    best = jnp.min(s, axis=1)             # (TS,)
+    ids = ids_ref[:]                       # (1, Kp) int32 original ids
+    aid = jnp.min(jnp.where(s <= best[:, None], ids, k), axis=1)
+    aid = jnp.where(valid_ref[:] != 0, aid, k).astype(jnp.int32)
+
+    aid_ref[:] = aid.astype(jnp.uint32)
+    best_ref[:] = best
+
+    onehot = aid[:, None] == ids           # (TS, Kp) — pad cols never hit
+
+    @pl.when(i == 0)
+    def _init():
+        sums_ref[:] = jnp.zeros_like(sums_ref)
+        counts_ref[:] = jnp.zeros_like(counts_ref)
+        changed_ref[0, 0] = jnp.int32(0)
+
+    sums_ref[:] += jnp.dot(onehot.astype(x_ref.dtype).T, x_ref[:],
+                           preferred_element_type=jnp.float32)
+    counts_ref[:] += jnp.sum(onehot, axis=0, dtype=jnp.int32)[None, :]
+    changed_ref[0, 0] += jnp.sum(
+        aid.astype(jnp.uint32) != prev_ref[:], dtype=jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_clusters", "metric", "tile", "interpret"))
+def fused_lloyd_pass(x, valid, prev_assign, centroids, *, n_clusters: int,
+                     metric: D.DistanceMetric, tile: int, interpret: bool):
+    """One fused assignment+update pass over the local shard.
+
+    Returns (new_centroids (K, F) fp32 — pre-psum local segment mean parts
+    as (sums, counts) —, assign (Nl,) uint32, best (Nl,) fp32, changed ()
+    int32).  The caller psums (sums, counts, changed) and normalizes.
+    """
+    nl, f = x.shape
+    k = n_clusters
+    c_t, c_sq, penalty, orig_ids = pad_clusters(centroids, x.dtype)
+    kp = c_t.shape[1]
+    # The kernel computes s = dot(x, panel) + bias.
+    #   L2:     s = -2<x,c> + (csq + pen)   (panel = -2 c, exact scaling)
+    #   cosine: s = -<x,c>  + pen           (panel = -c)
+    scale = -2.0 if metric == D.DistanceMetric.L2 else -1.0
+    ct_panel = (c_t.astype(jnp.float32) * scale).astype(x.dtype)
+    if metric == D.DistanceMetric.L2:
+        bias = (c_sq + penalty)[None, :]
+    else:
+        bias = penalty[None, :]
+
+    grid = nl // tile
+    aid, best, sums, counts, changed = pl.pallas_call(
+        functools.partial(_kernel, n_clusters=k),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((tile, f), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, kp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile,), lambda i: (i,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile,), lambda i: (i,),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile,), lambda i: (i,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile,), lambda i: (i,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kp, f), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nl,), jnp.uint32),
+            jax.ShapeDtypeStruct((nl,), jnp.float32),
+            jax.ShapeDtypeStruct((kp, f), jnp.float32),
+            jax.ShapeDtypeStruct((1, kp), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(x, ct_panel, bias, orig_ids[None, :], valid.astype(jnp.int32),
+      prev_assign)
+    return (aid, best, sums[:k], counts[0, :k], changed[0, 0])

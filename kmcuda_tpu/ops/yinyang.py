@@ -1,19 +1,19 @@
 """Yinyang k-means iteration (reference: src/kmeans.cu:432-672, 1028-1263).
 
 State per sample: upper bound ``u`` on the distance to its assigned
-centroid, per-group lower bounds ``l[g]`` on the distance to any *other*
-centroid of group g (kmeans_yy_init, kmeans.cu:432-485), and the group id
-of the assigned centroid.  Per iteration:
+centroid and per-group lower bounds ``l[g]`` on the distance to any *other*
+centroid of group g (kmeans_yy_init, kmeans.cu:432-485).  Per iteration:
 
 1. adjust centroids from the running sums; per-centroid drift
    (kmeans_yy_calc_drifts, kmeans.cu:488-499) and per-group max drift
    (kmeans_yy_find_group_max_drifts, kmeans.cu:501-538);
-2. *global filter*: u += group_drift[own group], l[g] -= group_drift[g];
-   samples with u < min_g l[g] provably keep their assignment
-   (kmeans_yy_global_filter, kmeans.cu:541-582).  Using the group-level
-   drift for u (instead of the per-centroid drift the reference gathers) is
-   a looser-but-valid upper bound that avoids any per-sample x k work in
-   this pass — it touches only the (n, G) bounds;
+2. *global filter*: u += drift[assigned], l[g] -= group_drift[g]; samples
+   with u < min_g l[g] provably keep their assignment
+   (kmeans_yy_global_filter, kmeans.cu:541-582).  The per-sample drift
+   lookup is a one-hot matvec (a gather from a small table lowers to
+   element-serial code on TPU); exact per-centroid drift keeps the filter
+   as tight as the reference's — a group-level bound was measured to leave
+   ~half the data candidate forever;
 3. candidates are compacted and walked by a dynamic-trip-count loop that
    first tightens u to the exact own-centroid distance (per-candidate F
    work) and, only when some candidate in the chunk still passes, runs the
@@ -75,14 +75,13 @@ def exact_drift(c_new, c_old, metric):
     static_argnames=("n_clusters", "groups", "group_cap", "metric", "chunk",
                      "axis_name"))
 def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
-           pad_src, pad_pen, group_of, tol_count, max_iterations, *,
+           pad_src, pad_pen, tol_count, max_iterations, *,
            n_clusters: int, groups: int, group_cap: int,
            metric: D.DistanceMetric, chunk: int, axis_name=None):
     """Run the Yinyang main loop on device.
 
     pad_src:  (G, P) int32 — centroid id per padded group slot (0 for pads).
     pad_pen:  (G, P) fp32 — 0 for real slots, +PAD_PENALTY for pads.
-    group_of: (K,) int32 — group of each centroid (== G for NaN centroids).
 
     Returns (centroids_used, assign, iterations, changed_log, passed_log).
     """
@@ -90,13 +89,10 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
     nl, f = x.shape
     nchunks = nl // chunk
     iota_g = lax.broadcasted_iota(jnp.int32, (1, g), 1)
-    iota_g1 = lax.broadcasted_iota(jnp.int32, (1, g + 1), 1)
     iota_p = lax.broadcasted_iota(jnp.int32, (1, p), 1)
     iota_k1 = lax.broadcasted_iota(jnp.uint32, (1, k + 1), 1)
     pad_src_flat = pad_src.reshape(-1)
     pad_pen_flat = pad_pen.reshape(-1)
-    group_of_ext = jnp.concatenate(
-        [group_of, jnp.full((1,), g, jnp.int32)]).astype(jnp.float32)
 
     # the bounds pass touches every sample anyway; wider chunks amortize
     # the per-scan-step scaffolding
@@ -111,11 +107,11 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
     offs = lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)[:, 0]
 
     def cond(carry):
-        it, changed = carry[6], carry[7]
+        it, changed = carry[5], carry[6]
         return (it == 0) | ((changed > tol_count) & (it < max_iterations))
 
     def body(carry):
-        (c_cur, assign, gown, u, l, sc, it, _changed, log_ch,
+        (c_cur, assign, u, l, sc, it, _changed, log_ch,
          log_pa) = carry
         sums, counts = sc
         first = it == 0
@@ -124,8 +120,8 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
         drift = exact_drift(c_new, c_cur, metric)
         gdrift = jnp.max(
             jnp.where(pad_pen > 0, 0.0, drift[pad_src]), axis=1)
-        gdrift_ext = jnp.concatenate(
-            [gdrift, jnp.zeros((1,), jnp.float32)])
+        drift_ext = jnp.concatenate(
+            [drift, jnp.zeros((1,), jnp.float32)])
         c_new_ext = jnp.concatenate(
             [c_new, jnp.zeros((1, f), jnp.float32)])
         c_sq_ext = jnp.concatenate(
@@ -133,13 +129,13 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
         c_t, c_sq_pad, penalty, orig_ids = pad_clusters(c_new, x.dtype)
 
         # ---- phase 1: drift the bounds, global filter ------------------
-        # touches only the (n, G) bounds: the u update uses the *group*
-        # max drift (a valid upper bound on the assigned centroid's drift)
-        # looked up through a tiny (B, G+1) one-hot
+        # exact per-centroid drift for u (as tight as the reference's
+        # filter), looked up through a one-hot matvec on the MXU
         def cheap(_, inp):
-            vb, gb, ub, lb = inp
-            ghot = (gb[:, None] == iota_g1).astype(jnp.float32)
-            u2 = ub + ghot @ gdrift_ext
+            vb, ab, ub, lb = inp
+            oh = (ab[:, None] == iota_k1).astype(x.dtype)
+            u2 = ub + jnp.dot(oh, drift_ext.astype(x.dtype),
+                              preferred_element_type=jnp.float32)
             l2 = lb - gdrift[None, :]
             lmin = jnp.min(l2, axis=1)
             # '>=', not '>': a knife-edge tie must reach the local filter
@@ -149,7 +145,7 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
 
         _, (u2, l2, lmin_all, cand) = lax.scan(
             cheap, None,
-            (vc, gown.reshape(ncheap, cheap_chunk),
+            (vc, assign.reshape(ncheap, cheap_chunk),
              u.reshape(ncheap, cheap_chunk),
              l.reshape(ncheap, cheap_chunk, g)))
         u2 = u2.reshape(nl)
@@ -165,14 +161,13 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
             return carry[0] < n_active
 
         def lbody(carry):
-            (i, aid_all, u_all, l_all, gown_all, n_passed) = carry
+            (i, aid_all, u_all, l_all, n_passed) = carry
             base = i * chunk
             idx = lax.dynamic_slice(order, (base,), (chunk,))
             row_ok = (base + offs) < n_cand
             xb = x[idx]
             xsqb = x_sq[idx]
             ab = jnp.where(row_ok, assign[idx], jnp.uint32(k))
-            gb = gown[idx]
             lminb = lmin_all[idx]
             # exact distance to the (adjusted) own centroid — the
             # reference's global-filter tightening (kmeans.cu:541-582)
@@ -209,40 +204,33 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
                               config.PAD_PENALTY, spw), axis=1)
                 l_sc = jnp.where(ohg, m2w[:, None], m1)
                 l_new = D.finalize_distance(l_sc, xsqb[:, None], metric)
-                # true group of the winner (exact even on cross-group
-                # ties), via one-hot matvec
-                oha = (aid[:, None] == iota_k1).astype(jnp.float32)
-                g_new = (oha @ group_of_ext).astype(jnp.int32)
-                return aid, u_new, l_new, g_new
+                return aid, u_new, l_new
 
             def tightened_only(_):
-                # l/g placeholders: the merge below only reads them where
+                # l placeholder: the merge below only reads it where
                 # passed_b, which is all-false in this branch
-                zl, zg = _mark_varying(
-                    (jnp.zeros((chunk, g), jnp.float32),
-                     jnp.zeros((chunk,), jnp.int32)), axis_name)
-                return ab, u_ex, zl, zg
+                zl = _mark_varying(
+                    jnp.zeros((chunk, g), jnp.float32), axis_name)
+                return ab, u_ex, zl
 
-            aid_n, u_n, l_n, g_n = lax.cond(
+            aid_n, u_n, l_n = lax.cond(
                 jnp.any(passed_b), full, tightened_only, None)
             # candidates that failed the tightened test keep everything
             # but the (tighter, exact) upper bound
             aid_m = jnp.where(passed_b, aid_n, ab)
             u_m = jnp.where(passed_b, u_n, u_ex)
             l_m = jnp.where(passed_b[:, None], l_n, l2[idx])
-            g_m = jnp.where(passed_b, g_n, gb)
             return (i + 1,
                     lax.dynamic_update_slice(aid_all, aid_m, (base,)),
                     lax.dynamic_update_slice(u_all, u_m, (base,)),
                     lax.dynamic_update_slice(l_all, l_m, (base, 0)),
-                    lax.dynamic_update_slice(gown_all, g_m, (base,)),
                     n_passed)
 
         linit = _mark_varying(
             (jnp.int32(0), jnp.zeros((nl,), jnp.uint32),
              jnp.zeros((nl,), jnp.float32), jnp.zeros((nl, g), jnp.float32),
-             jnp.zeros((nl,), jnp.int32), jnp.int32(0)), axis_name)
-        (_i, aid_all, u_all, l_all, gown_all, passed_n) = lax.while_loop(
+             jnp.int32(0)), axis_name)
+        (_i, aid_all, u_all, l_all, passed_n) = lax.while_loop(
             lcond, lbody, linit)
 
         # scatter candidate results back; rows past n_cand dropped
@@ -251,7 +239,6 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
         assign2 = assign.at[tgt].set(aid_all, mode="drop")
         u4 = u2.at[tgt].set(u_all, mode="drop")
         l4 = l2.at[tgt].set(l_all, mode="drop")
-        gown2 = gown.at[tgt].set(gown_all, mode="drop")
 
         # ---- phase 3: incremental centroid update from the moved set ----
         morder, n_moved = C.stable_partition(assign2 != assign)
@@ -266,21 +253,17 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
             passed_n = lax.psum(passed_n, axis_name)
         log_ch = log_ch.at[it].set(changed2)
         log_pa = log_pa.at[it].set(passed_n)
-        return (c_new, assign2, gown2, u4, l4,
+        return (c_new, assign2, u4, l4,
                 (sums + d_sums, counts + d_counts), it + 1, changed2,
                 log_ch, log_pa)
 
-    # initial per-sample group ids (one small-table gather, once per run)
-    gown0 = jnp.concatenate(
-        [group_of, jnp.full((1,), g, jnp.int32)])[
-        jnp.minimum(assign0, jnp.uint32(k)).astype(jnp.int32)]
-    assign0, gown0, u0, l0 = _mark_varying(
-        (assign0, gown0, jnp.zeros((nl,), jnp.float32),
+    assign0, u0, l0 = _mark_varying(
+        (assign0, jnp.zeros((nl,), jnp.float32),
          jnp.zeros((nl, g), jnp.float32)), axis_name)
-    init = (centroids0, assign0, gown0, u0, l0, (sums0, counts0),
+    init = (centroids0, assign0, u0, l0, (sums0, counts0),
             jnp.int32(0), jnp.int32(jnp.iinfo(jnp.int32).max),
             jnp.zeros((LOG_CAPACITY,), jnp.int32),
             jnp.zeros((LOG_CAPACITY,), jnp.int32))
-    (c_cur, assign, _gown, _u, _l, _sc, it, _changed, log_ch, log_pa) = \
+    (c_cur, assign, _u, _l, _sc, it, _changed, log_ch, log_pa) = \
         lax.while_loop(cond, body, init)
     return c_cur, assign, it, log_ch, log_pa
