@@ -86,3 +86,8 @@ KNN_TILE_M = 2048
 #: problem shape supports it (ops/assign_pallas.py).  Interpreted on
 #: non-TPU backends.
 USE_PALLAS_ASSIGN = False
+
+#: Yinyang filter triage knob (0 = normal; 1 = treat every sample as a
+#: global-filter candidate; 2 = also skip the tightened re-test).  Only for
+#: debugging filter soundness.
+YY_DEBUG_MODE = 0

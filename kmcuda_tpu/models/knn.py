@@ -139,20 +139,25 @@ def _cluster_structure(x, x_sq, valid, assign, centroids, *, n_clusters,
     nl, f = x.shape
     k = n_clusters
     a = jnp.where(valid & (assign < k), assign, jnp.uint32(k))
-    c_ext = jnp.concatenate(
+    # NaN-free lookup tables (0 * NaN = NaN would poison the one-hot
+    # matmul below; dead centroids are NaN rows)
+    c_raw = jnp.concatenate(
         [centroids.astype(jnp.float32), jnp.zeros((1, f), jnp.float32)])
-    c_sq_ext = jnp.concatenate(
-        [jnp.sum(c_ext * c_ext, axis=1)[:-1], jnp.zeros((1,))])
+    c_ext = jnp.nan_to_num(c_raw)
+    c_sq_raw = jnp.sum(c_raw * c_raw, axis=1)
+    c_sq_ext = jnp.where(jnp.isnan(c_sq_raw), config.PAD_PENALTY, c_sq_raw)
     nchunks = nl // chunk
     iota_k1 = lax.broadcasted_iota(jnp.uint32, (1, k + 1), 1)
 
     def body(_, inp):
         xb, xsqb, ab = inp
         oh = (ab[:, None] == iota_k1).astype(jnp.float32)
-        cb = oh @ c_ext
+        # value lookups at HIGHEST: DEFAULT would bf16-round the table
+        cb = jnp.dot(oh, c_ext, precision=lax.Precision.HIGHEST)
         prod = jnp.sum(xb.astype(jnp.float32) * cb, axis=1)
         if metric == D.DistanceMetric.L2:
-            score = (oh @ c_sq_ext) - 2.0 * prod
+            score = jnp.dot(oh, c_sq_ext,
+                            precision=lax.Precision.HIGHEST) - 2.0 * prod
         else:
             score = -prod
         score = jnp.where(jnp.isnan(score), config.PAD_PENALTY, score)
@@ -165,7 +170,7 @@ def _cluster_structure(x, x_sq, valid, assign, centroids, *, n_clusters,
     d_own = d_own.reshape(nl)
     radii = jnp.zeros((k,), jnp.float32).at[a].max(
         jnp.where(a < k, d_own, 0.0), mode="drop")
-    cd = D.pairwise_distance(c_ext[:-1], c_ext[:-1], metric)
+    cd = D.pairwise_distance(c_raw[:-1], c_raw[:-1], metric)
     sorder = jnp.argsort(a, stable=True).astype(jnp.int32)
     return a, d_own, radii, cd, sorder
 

@@ -34,16 +34,19 @@ from kmcuda_tpu.utils.logging import Logger
 
 
 @functools.lru_cache(maxsize=32)
-def _build_yy_run(mesh, n_clusters, groups, group_cap, metric, chunk):
+def _build_yy_run(mesh, n_clusters, groups, group_cap, metric, chunk,
+                  debug_mode=0):
     fn = functools.partial(
         YY.yy_run, n_clusters=n_clusters, groups=groups,
-        group_cap=group_cap, metric=metric, chunk=chunk, axis_name=AXIS)
+        group_cap=group_cap, metric=metric, chunk=chunk, axis_name=AXIS,
+        debug_mode=debug_mode)
     mapped = jax.shard_map(
         fn, mesh=mesh,
         in_specs=(P(AXIS, None), P(AXIS), P(AXIS), P(AXIS), P(None, None),
                   P(None, None), P(None), P(None, None), P(None, None),
-                  P(), P()),
-        out_specs=(P(None, None), P(AXIS), P(), P(), P()))
+                  P(None), P(), P()),
+        out_specs=(P(None, None), P(AXIS), P(), P(), P(), P(),
+                   P(AXIS), P(AXIS, None)))
     return jax.jit(mapped, donate_argnums=(3,))
 
 
@@ -131,20 +134,23 @@ def run(problem, centroids, assignments, tolerance, groups,
                    % (cap, 100.0 * (groups * cap - p.k) / p.k))
 
     run_fn = _build_yy_run(p.topo.mesh, p.k, groups, cap, p.metric,
-                           p.chunk)
+                           p.chunk, debug_mode=config.YY_DEBUG_MODE)
     tol_count = jnp.int32(int(tolerance * p.n))
-    c_fin, assign, it, log_ch, log_pa = run_fn(
+    c_fin, assign, it, log_ch, log_pa, log_ca, _u_fin, _l_fin = run_fn(
         p.x, p.x_sq, p.valid, assignments, centroids, sums, counts,
         p.topo.put_replicated(jnp.asarray(pad_src)),
         p.topo.put_replicated(jnp.asarray(pad_pen)),
+        p.topo.put_replicated(jnp.asarray(group_of)),
         tol_count, jnp.int32(min(max_iterations,
                                  config.DEFAULT_MAX_ITERATIONS)))
-    it, log_ch, log_pa = jax.device_get((it, log_ch, log_pa))
+    it, log_ch, log_pa, log_ca = jax.device_get(
+        (it, log_ch, log_pa, log_ca))
     it = int(it)
     log_ch = log_ch[:it]
     log_pa = log_pa[:it]
+    log_ca = log_ca[:it]
     for i in range(it):
         p.logger.iteration(it0 + i + 1, int(log_ch[i]))
-        p.logger.debug("yinyang: %d samples passed the global filter"
-                       % int(log_pa[i]))
+        p.logger.debug("yinyang: %d candidates, %d samples passed the "
+                       "global filter" % (int(log_ca[i]), int(log_pa[i])))
     return c_fin, assign, None, it0 + it

@@ -112,8 +112,9 @@ def _assign_update_pass(x, x_sq, valid, prev_assign, centroids, *,
         best, aid = D.argmin_lowest_index(s, orig_ids, k)
         aid = jnp.where(vb, aid, jnp.uint32(k))
         onehot = (aid[:, None] == cluster_ids)
-        sums = sums + jnp.dot(onehot.astype(x.dtype).T,
-                              xb, preferred_element_type=jnp.float32)
+        sums = sums + jnp.dot(onehot.astype(x.dtype).T, xb,
+                              preferred_element_type=jnp.float32,
+                              precision=D.mm_precision(x.dtype))
         counts = counts + jnp.sum(onehot, axis=0, dtype=jnp.int32)
         changed = changed + jnp.sum(aid != pab, dtype=jnp.int32)
         return (sums, counts, changed), (aid, best)

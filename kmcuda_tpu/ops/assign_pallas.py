@@ -51,7 +51,10 @@ def _kernel(x_ref, ct_ref, csqpen_ref, ids_ref, valid_ref, prev_ref,
     i = pl.program_id(0)
     k = n_clusters
 
-    s = jnp.dot(x_ref[:], ct_ref[:], preferred_element_type=jnp.float32)
+    s = jnp.dot(x_ref[:], ct_ref[:], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST
+                if x_ref.dtype == jnp.float32 else
+                jax.lax.Precision.DEFAULT)
     s = s + csqpen_ref[:]                 # csq + pad penalty, (1, Kp)
     s = jnp.where(jnp.isnan(s), config.PAD_PENALTY, s)
 
@@ -72,7 +75,10 @@ def _kernel(x_ref, ct_ref, csqpen_ref, ids_ref, valid_ref, prev_ref,
         changed_ref[0, 0] = jnp.int32(0)
 
     sums_ref[:] += jnp.dot(onehot.astype(x_ref.dtype).T, x_ref[:],
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST
+                           if x_ref.dtype == jnp.float32 else
+                           jax.lax.Precision.DEFAULT)
     counts_ref[:] += jnp.sum(onehot, axis=0, dtype=jnp.int32)[None, :]
     changed_ref[0, 0] += jnp.sum(
         aid.astype(jnp.uint32) != prev_ref[:], dtype=jnp.int32)

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from kmcuda_tpu.ops.assign import _mark_varying
+from kmcuda_tpu.ops.distance import mm_precision as _mm_precision
 
 
 def stable_partition(mask):
@@ -31,6 +32,17 @@ def stable_partition(mask):
     Returns (order (n,) int32, n_true ()), where ``order[j]`` is the
     original index of the row at compacted position j.
     """
+    order, _pos, n_true = stable_partition_with_pos(mask)
+    return order, n_true
+
+
+def stable_partition_with_pos(mask):
+    """Like :func:`stable_partition`, also returning ``pos`` (n,) int32 —
+    each row's slot in the compacted layout (``pos[i] < n_true`` iff
+    ``mask[i]``).  ``pos`` enables gather-based merges of compacted results
+    (``where(mask, out[pos], old)``): TPU dynamic-index *scatters* lower to
+    near-serial code, while row gathers from large tables are fast, so
+    results are merged by gathering, never by scattering."""
     n = mask.shape[0]
     m = mask.astype(jnp.int32)
     cs = jnp.cumsum(m)
@@ -38,7 +50,7 @@ def stable_partition(mask):
     pos = jnp.where(mask, cs - 1, n_true + jnp.cumsum(1 - m) - 1)
     order = jnp.zeros((n,), jnp.int32).at[pos].set(
         jnp.arange(n, dtype=jnp.int32))
-    return order, n_true
+    return order, pos, n_true
 
 
 def delta_sums(x, assign_new, assign_old, order, n_changed, *,
@@ -77,7 +89,8 @@ def delta_sums(x, assign_new, assign_old, order, n_changed, *,
         oh_old = (aold[:, None] == cluster_ids)
         d_oh = oh_new.astype(x.dtype) - oh_old.astype(x.dtype)
         d_sums = d_sums + jnp.dot(
-            d_oh.T, xb, preferred_element_type=jnp.float32)
+            d_oh.T, xb, preferred_element_type=jnp.float32,
+            precision=_mm_precision(x.dtype))
         d_counts = d_counts + (
             jnp.sum(oh_new, axis=0, dtype=jnp.int32)
             - jnp.sum(oh_old, axis=0, dtype=jnp.int32))

@@ -26,6 +26,7 @@ import enum
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from kmcuda_tpu import config
 
@@ -47,6 +48,26 @@ metrics = {
     "cosine": DistanceMetric.COSINE,
     "angular": DistanceMetric.COSINE,
 }
+
+
+def mm_precision(dtype):
+    """Matmul precision policy: fp32 storage gets fp32-grade matmuls
+    (lax.Precision.HIGHEST — the reference computes fp32 throughout);
+    bf16 storage keeps the fast MXU path (DEFAULT), with filter margins
+    widened to match (see rounding_eps)."""
+    if jnp.dtype(dtype) == jnp.float32:
+        return lax.Precision.HIGHEST
+    return lax.Precision.DEFAULT
+
+
+def rounding_eps(dtype) -> float:
+    """Relative error bound for comparisons between *differently computed*
+    versions of the same score (rowwise dot vs matmul, natural vs padded
+    panel).  Yinyang's filter margins scale with this so bounds stay sound
+    under either precision policy."""
+    if jnp.dtype(dtype) == jnp.float32:
+        return 4e-6
+    return 2.0 ** -6
 
 
 def row_sq_norms(x: jax.Array) -> jax.Array:
@@ -73,7 +94,8 @@ def scores(x_block: jax.Array, c_t: jax.Array, c_sq: jax.Array,
       matching the reference where NaN comparisons simply never beat the
       running minimum.
     """
-    prod = jnp.dot(x_block, c_t, preferred_element_type=jnp.float32)
+    prod = jnp.dot(x_block, c_t, preferred_element_type=jnp.float32,
+                   precision=mm_precision(x_block.dtype))
     if metric == DistanceMetric.L2:
         s = c_sq[None, :] - 2.0 * prod
     else:
@@ -134,7 +156,8 @@ def point_distances(x: jax.Array, x_sq: jax.Array, c: jax.Array,
     """True distance of every sample to a single point ``c`` (F,) — the
     building block of the k-means++ / AFK-MC2 init loops (the reference's
     ``kmeans_plus_plus`` kernel, kmeans.cu:43-67).  Returns (N,) fp32."""
-    prod = jnp.dot(x, c.astype(x.dtype), preferred_element_type=jnp.float32)
+    prod = jnp.dot(x, c.astype(x.dtype), preferred_element_type=jnp.float32,
+                   precision=mm_precision(x.dtype))
     if metric == DistanceMetric.L2:
         cf = c.astype(jnp.float32)
         c_sq = jnp.sum(cf * cf)
@@ -152,7 +175,8 @@ def pairwise_distance(a: jax.Array, b: jax.Array,
     """
     af = a.astype(jnp.float32)
     bf = b.astype(jnp.float32)
-    prod = jnp.dot(af, bf.T, preferred_element_type=jnp.float32)
+    prod = jnp.dot(af, bf.T, preferred_element_type=jnp.float32,
+                   precision=lax.Precision.HIGHEST)
     if metric == DistanceMetric.L2:
         sq = (row_sq_norms(af)[:, None] + row_sq_norms(bf)[None, :]
               - 2.0 * prod)

@@ -73,17 +73,20 @@ def exact_drift(c_new, c_old, metric):
 @functools.partial(
     jax.jit,
     static_argnames=("n_clusters", "groups", "group_cap", "metric", "chunk",
-                     "axis_name"))
+                     "axis_name", "debug_mode"))
 def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
-           pad_src, pad_pen, tol_count, max_iterations, *,
+           pad_src, pad_pen, group_of, tol_count, max_iterations, *,
            n_clusters: int, groups: int, group_cap: int,
-           metric: D.DistanceMetric, chunk: int, axis_name=None):
+           metric: D.DistanceMetric, chunk: int, axis_name=None,
+           debug_mode: int = 0):
     """Run the Yinyang main loop on device.
 
     pad_src:  (G, P) int32 — centroid id per padded group slot (0 for pads).
     pad_pen:  (G, P) fp32 — 0 for real slots, +PAD_PENALTY for pads.
+    group_of: (K,) int32 — group of each centroid (== G for NaN centroids).
 
-    Returns (centroids_used, assign, iterations, changed_log, passed_log).
+    Returns (centroids_used, assign, iterations, changed_log, passed_log,
+    cand_log).
     """
     k, g, p = n_clusters, groups, group_cap
     nl, f = x.shape
@@ -93,6 +96,8 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
     iota_k1 = lax.broadcasted_iota(jnp.uint32, (1, k + 1), 1)
     pad_src_flat = pad_src.reshape(-1)
     pad_pen_flat = pad_pen.reshape(-1)
+    group_of_ext = jnp.concatenate(
+        [group_of, jnp.full((1,), g, jnp.int32)]).astype(jnp.float32)
 
     # the bounds pass touches every sample anyway; wider chunks amortize
     # the per-scan-step scaffolding
@@ -110,9 +115,10 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
         it, changed = carry[5], carry[6]
         return (it == 0) | ((changed > tol_count) & (it < max_iterations))
 
+
     def body(carry):
         (c_cur, assign, u, l, sc, it, _changed, log_ch,
-         log_pa) = carry
+         log_pa, log_ca) = carry
         sums, counts = sc
         first = it == 0
         c_new = D.normalize_centroids(
@@ -122,25 +128,60 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
             jnp.where(pad_pen > 0, 0.0, drift[pad_src]), axis=1)
         drift_ext = jnp.concatenate(
             [drift, jnp.zeros((1,), jnp.float32)])
-        c_new_ext = jnp.concatenate(
-            [c_new, jnp.zeros((1, f), jnp.float32)])
-        c_sq_ext = jnp.concatenate(
+        # lookup tables for one-hot matmuls MUST be NaN-free: the zero
+        # entries of a one-hot row multiply every table row, and
+        # 0 * NaN = NaN would poison the whole product (dead centroids
+        # are NaN rows).  Dead rows become 0 with a penalty bias, so
+        # their slots never win anything.
+        c_new_ext = jnp.nan_to_num(jnp.concatenate(
+            [c_new, jnp.zeros((1, f), jnp.float32)]))
+        c_sq_raw = jnp.concatenate(
             [D.row_sq_norms(c_new), jnp.zeros((1,), jnp.float32)])
+        c_sq_ext = jnp.where(jnp.isnan(c_sq_raw), config.PAD_PENALTY,
+                             c_sq_raw)
+        eps = D.rounding_eps(x.dtype)
         c_t, c_sq_pad, penalty, orig_ids = pad_clusters(c_new, x.dtype)
+        # padded-group centroid panel for the local filter's group minima:
+        # a second, smaller matmul replaces the (B, k)->(B, G*P) lane
+        # gather, which runs ~20x below HBM speed
+        ohp = (pad_src_flat[:, None].astype(jnp.uint32) == iota_k1
+               ).astype(jnp.float32)                       # (G*P, K+1)
+        # one-hot VALUE lookups always run at HIGHEST precision: DEFAULT
+        # would bf16-round the table before selecting, corrupting the
+        # looked-up values by ~0.4%
+        c_pad_rows = jnp.dot(ohp, c_new_ext,
+                             precision=lax.Precision.HIGHEST)
+        if metric == D.DistanceMetric.L2:
+            pad_panel = (c_pad_rows * -2.0).astype(x.dtype).T
+            pad_bias = jnp.dot(ohp, c_sq_ext,
+                               precision=lax.Precision.HIGHEST
+                               ) + pad_pen_flat             # (G*P,)
+        else:
+            pad_panel = (-c_pad_rows).astype(x.dtype).T
+            pad_bias = pad_pen_flat
 
         # ---- phase 1: drift the bounds, global filter ------------------
         # exact per-centroid drift for u (as tight as the reference's
-        # filter), looked up through a one-hot matvec on the MXU
+        # filter), looked up through a bf16 one-hot matvec on the MXU;
+        # the drift table is rounded *up* into bf16 so the lookup stays a
+        # valid upper bound
+        drift_safe = (drift_ext * (1.0 + 2.0 ** -7)).astype(jnp.bfloat16)
+
         def cheap(_, inp):
             vb, ab, ub, lb = inp
-            oh = (ab[:, None] == iota_k1).astype(x.dtype)
-            u2 = ub + jnp.dot(oh, drift_ext.astype(x.dtype),
-                              preferred_element_type=jnp.float32)
-            l2 = lb - gdrift[None, :]
+            oh = (ab[:, None] == iota_k1).astype(jnp.bfloat16)
+            # (1 +- 1e-7) factors absorb the addition rounding so u stays
+            # an upper and l a lower bound across many accumulations
+            u2 = (ub + jnp.dot(oh, drift_safe,
+                               preferred_element_type=jnp.float32)
+                  ) * (1.0 + 1e-7)
+            l2 = (lb - gdrift[None, :]) * (1.0 - 1e-7)
             lmin = jnp.min(l2, axis=1)
             # '>=', not '>': a knife-edge tie must reach the local filter
             # so its score-space argmin matches Lloyd's exactly
             cand = vb & (first | (u2 >= lmin))
+            if debug_mode == 1:   # soundness triage: distrust the drift test
+                cand = vb
             return None, (u2, l2, lmin, cand)
 
         _, (u2, l2, lmin_all, cand) = lax.scan(
@@ -153,15 +194,21 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
         lmin_all = lmin_all.reshape(nl)
         cand = cand.reshape(nl)
 
-        # ---- phase 2: tighten + local filter over compacted candidates --
+        # ---- phase 2a: tighten u over the compacted candidates ----------
+        # (the reference's global-filter tightening, kmeans.cu:541-582):
+        # per-candidate F work only, no k-matmul.  Results are written
+        # straight back to row positions with per-chunk scatters (cost
+        # proportional to the candidate count) — full-size dynamic-index
+        # gathers/scatters run ~20x below HBM speed on TPU, so nothing
+        # O(n) goes through them.
         order, n_cand = C.stable_partition(cand)
         n_active = (n_cand + chunk - 1) // chunk
 
-        def lcond(carry):
+        def tcond(carry):
             return carry[0] < n_active
 
-        def lbody(carry):
-            (i, aid_all, u_all, l_all, n_passed) = carry
+        def tbody(carry):
+            i, u3_full, passed_full = carry
             base = i * chunk
             idx = lax.dynamic_slice(order, (base,), (chunk,))
             row_ok = (base + offs) < n_cand
@@ -169,76 +216,105 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
             xsqb = x_sq[idx]
             ab = jnp.where(row_ok, assign[idx], jnp.uint32(k))
             lminb = lmin_all[idx]
-            # exact distance to the (adjusted) own centroid — the
-            # reference's global-filter tightening (kmeans.cu:541-582)
             oh1 = (ab[:, None] == iota_k1)
             cb = jnp.dot(oh1.astype(x.dtype), c_new_ext.astype(x.dtype),
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32,
+                         precision=lax.Precision.HIGHEST)
             prod = jnp.sum(xb.astype(jnp.float32) * cb, axis=1)
             if metric == D.DistanceMetric.L2:
-                score = (oh1.astype(jnp.float32) @ c_sq_ext) - 2.0 * prod
+                score = jnp.dot(oh1.astype(jnp.float32), c_sq_ext,
+                                precision=lax.Precision.HIGHEST
+                                ) - 2.0 * prod
                 # margin: this rowwise dot rounds differently than the
-                # filter matmul; never skip on ulp noise
-                score = score + 4e-6 * (xsqb + jnp.abs(score))
+                # filter matmul; never skip on rounding noise
+                score = score + eps * (xsqb + jnp.abs(score))
             else:
-                score = -prod + 4e-6
+                score = -prod + eps
             score = jnp.where(jnp.isnan(score), config.PAD_PENALTY, score)
             u_ex = D.finalize_distance(score, xsqb, metric)
             passed_b = row_ok & (u_ex >= lminb)
-            n_passed = n_passed + jnp.sum(passed_b, dtype=jnp.int32)
-
-            def full(_):
-                s = D.scores(xb, c_t, c_sq_pad, penalty, metric)
-                best, aid = D.argmin_lowest_index(s, orig_ids, k)
-                u_new = D.finalize_distance(best, xsqb, metric)
-                # group minima via lane-gather into the padded layout
-                sp = (jnp.take(s, pad_src_flat, axis=1) + pad_pen_flat
-                      ).reshape(chunk, g, p)
-                m1 = jnp.min(sp, axis=2)
-                g_min = jnp.argmin(m1, axis=1)
-                ohg = (iota_g == g_min[:, None])
-                spw = jnp.einsum("bg,bgp->bp", ohg.astype(jnp.float32), sp)
-                j1 = jnp.argmin(spw, axis=1)
-                m2w = jnp.min(
-                    jnp.where(iota_p == j1[:, None],
-                              config.PAD_PENALTY, spw), axis=1)
-                l_sc = jnp.where(ohg, m2w[:, None], m1)
-                l_new = D.finalize_distance(l_sc, xsqb[:, None], metric)
-                return aid, u_new, l_new
-
-            def tightened_only(_):
-                # l placeholder: the merge below only reads it where
-                # passed_b, which is all-false in this branch
-                zl = _mark_varying(
-                    jnp.zeros((chunk, g), jnp.float32), axis_name)
-                return ab, u_ex, zl
-
-            aid_n, u_n, l_n = lax.cond(
-                jnp.any(passed_b), full, tightened_only, None)
-            # candidates that failed the tightened test keep everything
-            # but the (tighter, exact) upper bound
-            aid_m = jnp.where(passed_b, aid_n, ab)
-            u_m = jnp.where(passed_b, u_n, u_ex)
-            l_m = jnp.where(passed_b[:, None], l_n, l2[idx])
+            if debug_mode == 2:   # soundness triage: distrust the tighten
+                passed_b = row_ok
+            idx_ok = jnp.where(row_ok, idx, nl)
             return (i + 1,
-                    lax.dynamic_update_slice(aid_all, aid_m, (base,)),
-                    lax.dynamic_update_slice(u_all, u_m, (base,)),
-                    lax.dynamic_update_slice(l_all, l_m, (base, 0)),
-                    n_passed)
+                    u3_full.at[idx_ok].set(u_ex, mode="drop"),
+                    passed_full.at[idx_ok].set(passed_b, mode="drop"))
+
+        tinit = _mark_varying(
+            (jnp.int32(0), u2, jnp.zeros((nl,), bool)), axis_name)
+        _i, u3, passed = lax.while_loop(tcond, tbody, tinit)
+        passed_n = jnp.sum(passed, dtype=jnp.int32)
+
+        # ---- phase 2b: full local filter over the compacted passed set --
+        # (the second compaction keys the expensive matmul loop to the
+        # passed set; passed samples scattered among candidate chunks
+        # would otherwise trigger the matmul on nearly every chunk)
+        order2, n_passed = C.stable_partition(passed)
+        n_active2 = (n_passed + chunk - 1) // chunk
+
+        def lcond(carry):
+            return carry[0] < n_active2
+
+        def lbody(carry):
+            (i, assign_full, u_full, l_full) = carry
+            base = i * chunk
+            idx = lax.dynamic_slice(order2, (base,), (chunk,))
+            row_ok = (base + offs) < n_passed
+            xb = x[idx]
+            xsqb = x_sq[idx]
+            s = D.scores(xb, c_t, c_sq_pad, penalty, metric)
+            best, aid = D.argmin_lowest_index(s, orig_ids, k)
+            # the stored upper bound gets an upward margin: the raw score
+            # can round below the true distance, and a too-small u lets
+            # the drift test wrongly skip a knife-edge sample later
+            if metric == D.DistanceMetric.L2:
+                best_m = best + eps * (xsqb + jnp.abs(best))
+            else:
+                best_m = best + eps
+            u_new = D.finalize_distance(best_m, xsqb, metric)
+            # group minima from the padded-panel matmul (same dot
+            # products up to matmul rounding; the stored lower bound gets
+            # a downward margin below so an ulp can never inflate it)
+            sp = (jnp.dot(xb, pad_panel,
+                          preferred_element_type=jnp.float32,
+                          precision=D.mm_precision(x.dtype))
+                  + pad_bias[None, :]).reshape(chunk, g, p)
+            sp = jnp.where(jnp.isnan(sp), config.PAD_PENALTY, sp)
+            m1 = jnp.min(sp, axis=2)
+            # the group whose bound must exclude one centroid is the
+            # group of the ASSIGNED centroid (kmeans_yy_init semantics,
+            # kmeans.cu:432-485) — NOT argmin(m1): panel rounding can put
+            # the argmin in another group, whose bound would then wrongly
+            # exclude a legitimate competitor
+            oha = (aid[:, None] == iota_k1).astype(jnp.float32)
+            g_star = (oha @ group_of_ext).astype(jnp.int32)      # (B,)
+            ohg = (iota_g == g_star[:, None])                    # (B, G)
+            spw = jnp.einsum("bg,bgp->bp", ohg.astype(jnp.float32), sp,
+                             precision=lax.Precision.HIGHEST)
+            # exact own-slot mask via boolean broadcast — NEVER via a
+            # value matmul: default-precision matmuls round integer ids
+            # through bf16 (815 and 817 both become 816), which would
+            # exclude innocent competitors from the bound
+            own_slot = jnp.any(
+                (pad_src[None, :, :] == aid[:, None, None].astype(jnp.int32))
+                & ohg[:, :, None], axis=1)                       # (B, P)
+            m2w = jnp.min(
+                jnp.where(own_slot, config.PAD_PENALTY, spw), axis=1)
+            l_sc = jnp.where(ohg, m2w[:, None], m1)
+            l_new = D.finalize_distance(l_sc, xsqb[:, None], metric)
+            # downward safety margin: the padded-panel matmul rounds
+            # differently than the natural-layout one the assignments
+            # (and u) come from; a lower bound must never exceed truth
+            l_new = l_new - eps * (1.0 + l_new)
+            idx_ok = jnp.where(row_ok, idx, nl)
+            return (i + 1,
+                    assign_full.at[idx_ok].set(aid, mode="drop"),
+                    u_full.at[idx_ok].set(u_new, mode="drop"),
+                    l_full.at[idx_ok].set(l_new, mode="drop"))
 
         linit = _mark_varying(
-            (jnp.int32(0), jnp.zeros((nl,), jnp.uint32),
-             jnp.zeros((nl,), jnp.float32), jnp.zeros((nl, g), jnp.float32),
-             jnp.int32(0)), axis_name)
-        (_i, aid_all, u_all, l_all, passed_n) = lax.while_loop(
-            lcond, lbody, linit)
-
-        # scatter candidate results back; rows past n_cand dropped
-        pos = jnp.arange(nl, dtype=jnp.int32)
-        tgt = jnp.where(pos < n_cand, order, nl)
-        assign2 = assign.at[tgt].set(aid_all, mode="drop")
-        u4 = u2.at[tgt].set(u_all, mode="drop")
-        l4 = l2.at[tgt].set(l_all, mode="drop")
+            (jnp.int32(0), assign, u3, l2), axis_name)
+        (_i2, assign2, u4, l4) = lax.while_loop(lcond, lbody, linit)
 
         # ---- phase 3: incremental centroid update from the moved set ----
         morder, n_moved = C.stable_partition(assign2 != assign)
@@ -251,11 +327,15 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
             d_counts = lax.psum(d_counts, axis_name)
             changed2 = lax.psum(changed2, axis_name)
             passed_n = lax.psum(passed_n, axis_name)
+        n_cand_g = n_cand
+        if axis_name is not None:
+            n_cand_g = lax.psum(n_cand_g, axis_name)
         log_ch = log_ch.at[it].set(changed2)
         log_pa = log_pa.at[it].set(passed_n)
+        log_ca = log_ca.at[it].set(n_cand_g)
         return (c_new, assign2, u4, l4,
                 (sums + d_sums, counts + d_counts), it + 1, changed2,
-                log_ch, log_pa)
+                log_ch, log_pa, log_ca)
 
     assign0, u0, l0 = _mark_varying(
         (assign0, jnp.zeros((nl,), jnp.float32),
@@ -263,7 +343,8 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
     init = (centroids0, assign0, u0, l0, (sums0, counts0),
             jnp.int32(0), jnp.int32(jnp.iinfo(jnp.int32).max),
             jnp.zeros((LOG_CAPACITY,), jnp.int32),
+            jnp.zeros((LOG_CAPACITY,), jnp.int32),
             jnp.zeros((LOG_CAPACITY,), jnp.int32))
-    (c_cur, assign, _u, _l, _sc, it, _changed, log_ch, log_pa) = \
-        lax.while_loop(cond, body, init)
-    return c_cur, assign, it, log_ch, log_pa
+    (c_cur, assign, u_fin, l_fin, _sc, it, _changed, log_ch, log_pa,
+     log_ca) = lax.while_loop(cond, body, init)
+    return c_cur, assign, it, log_ch, log_pa, log_ca, u_fin, l_fin

@@ -95,8 +95,8 @@ def test_yinyang_skips_work(samples, capsys):
     kmeans_tpu(samples, 50, init="kmeans++", device=1, verbosity=2, seed=3,
                tolerance=0.002, yinyang_t=0.1, max_iterations=100)
     out = capsys.readouterr().out
-    passed = [int(line.split()[1]) for line in out.splitlines()
-              if "passed the global filter" in line]
+    passed = [int(line.split()[3]) for line in out.splitlines()
+              if "passed the global" in line]
     assert passed, out
     assert passed[-1] < 0.25 * 13000, passed
 
