@@ -143,9 +143,10 @@ def _cluster_structure(x, x_sq, valid, assign, centroids, *, n_clusters,
     # matmul below; dead centroids are NaN rows)
     c_raw = jnp.concatenate(
         [centroids.astype(jnp.float32), jnp.zeros((1, f), jnp.float32)])
-    c_ext = jnp.nan_to_num(c_raw)
+    c_ext = jnp.where(jnp.isfinite(c_raw), c_raw, 0.0)
     c_sq_raw = jnp.sum(c_raw * c_raw, axis=1)
-    c_sq_ext = jnp.where(jnp.isnan(c_sq_raw), config.PAD_PENALTY, c_sq_raw)
+    c_sq_ext = jnp.where(jnp.isfinite(c_sq_raw), c_sq_raw,
+                         config.PAD_PENALTY)
     nchunks = nl // chunk
     iota_k1 = lax.broadcasted_iota(jnp.uint32, (1, k + 1), 1)
 
@@ -160,7 +161,7 @@ def _cluster_structure(x, x_sq, valid, assign, centroids, *, n_clusters,
                             precision=lax.Precision.HIGHEST) - 2.0 * prod
         else:
             score = -prod
-        score = jnp.where(jnp.isnan(score), config.PAD_PENALTY, score)
+        score = jnp.where(jnp.isfinite(score), score, config.PAD_PENALTY)
         return None, D.finalize_distance(score, xsqb, metric)
 
     _, d_own = lax.scan(

@@ -56,7 +56,7 @@ def _kernel(x_ref, ct_ref, csqpen_ref, ids_ref, valid_ref, prev_ref,
                 if x_ref.dtype == jnp.float32 else
                 jax.lax.Precision.DEFAULT)
     s = s + csqpen_ref[:]                 # csq + pad penalty, (1, Kp)
-    s = jnp.where(jnp.isnan(s), config.PAD_PENALTY, s)
+    s = jnp.where(jnp.isfinite(s), s, config.PAD_PENALTY)
 
     best = jnp.min(s, axis=1)             # (TS,)
     ids = ids_ref[:]                       # (1, Kp) int32 original ids

@@ -100,7 +100,7 @@ def scores(x_block: jax.Array, c_t: jax.Array, c_sq: jax.Array,
         s = c_sq[None, :] - 2.0 * prod
     else:
         s = -prod
-    s = jnp.where(jnp.isnan(s), config.PAD_PENALTY, s)
+    s = jnp.where(jnp.isfinite(s), s, config.PAD_PENALTY)
     return s + penalty[None, :]
 
 
@@ -142,13 +142,18 @@ def normalize_centroids(sums: jax.Array, counts: jax.Array,
     """The reference's METRIC::normalize (metric_abstraction.h:138-144,
     266-302): mean for L2, L2-renormalization for angular.
 
-    Empty clusters yield NaN centroids by design (0/0), documented as a
-    feature in the reference (kmeans.cu:425-427).
+    Empty clusters yield NaN centroids by design, documented as a feature
+    in the reference (kmeans.cu:425-427).  The emptiness test is explicit:
+    with incremental delta updates a dying cluster's sums keep fp32
+    residue, and residue/0 would be +-inf rather than NaN.
     """
+    empty = counts <= 0
     if metric == DistanceMetric.L2:
-        return sums / counts[:, None]
-    norms = jnp.sqrt(jnp.sum(sums * sums, axis=1, keepdims=True))
-    return sums / norms
+        out = sums / jnp.where(empty, 1.0, counts)[:, None]
+    else:
+        norms = jnp.sqrt(jnp.sum(sums * sums, axis=1, keepdims=True))
+        out = sums / jnp.where(empty[:, None], 1.0, norms)
+    return jnp.where(empty[:, None], jnp.nan, out)
 
 
 def point_distances(x: jax.Array, x_sq: jax.Array, c: jax.Array,

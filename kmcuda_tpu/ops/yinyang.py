@@ -67,7 +67,7 @@ def exact_drift(c_new, c_old, metric):
         # geodesic upper bound via the chord: 2 asin(|a-b|/2), precise near
         # 0 unlike acos(<a,b>)
         drift = 2.0 * jnp.arcsin(jnp.clip(chord * 0.5, 0.0, 1.0))
-    return jnp.where(jnp.isnan(drift), 0.0, drift)
+    return jnp.where(jnp.isfinite(drift), drift, 0.0)
 
 
 @functools.partial(
@@ -133,12 +133,13 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
         # 0 * NaN = NaN would poison the whole product (dead centroids
         # are NaN rows).  Dead rows become 0 with a penalty bias, so
         # their slots never win anything.
-        c_new_ext = jnp.nan_to_num(jnp.concatenate(
-            [c_new, jnp.zeros((1, f), jnp.float32)]))
+        c_new_raw = jnp.concatenate(
+            [c_new, jnp.zeros((1, f), jnp.float32)])
+        c_new_ext = jnp.where(jnp.isfinite(c_new_raw), c_new_raw, 0.0)
         c_sq_raw = jnp.concatenate(
             [D.row_sq_norms(c_new), jnp.zeros((1,), jnp.float32)])
-        c_sq_ext = jnp.where(jnp.isnan(c_sq_raw), config.PAD_PENALTY,
-                             c_sq_raw)
+        c_sq_ext = jnp.where(jnp.isfinite(c_sq_raw), c_sq_raw,
+                             config.PAD_PENALTY)
         eps = D.rounding_eps(x.dtype)
         c_t, c_sq_pad, penalty, orig_ids = pad_clusters(c_new, x.dtype)
         # padded-group centroid panel for the local filter's group minima:
@@ -230,7 +231,8 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
                 score = score + eps * (xsqb + jnp.abs(score))
             else:
                 score = -prod + eps
-            score = jnp.where(jnp.isnan(score), config.PAD_PENALTY, score)
+            score = jnp.where(jnp.isfinite(score), score,
+                              config.PAD_PENALTY)
             u_ex = D.finalize_distance(score, xsqb, metric)
             passed_b = row_ok & (u_ex >= lminb)
             if debug_mode == 2:   # soundness triage: distrust the tighten
@@ -279,7 +281,7 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
                           preferred_element_type=jnp.float32,
                           precision=D.mm_precision(x.dtype))
                   + pad_bias[None, :]).reshape(chunk, g, p)
-            sp = jnp.where(jnp.isnan(sp), config.PAD_PENALTY, sp)
+            sp = jnp.where(jnp.isfinite(sp), sp, config.PAD_PENALTY)
             m1 = jnp.min(sp, axis=2)
             # the group whose bound must exclude one centroid is the
             # group of the ASSIGNED centroid (kmeans_yy_init semantics,

@@ -1,0 +1,124 @@
+"""Yinyang bound-soundness invariants on adversarial data.
+
+Locks in the fixes for three numeric bug classes found on TPU:
+NaN-poisoned one-hot lookups (0 * NaN spreads a dead centroid's NaN row
+everywhere), wrong-group bound exclusion, and precision-rounded value
+lookups.  The invariants:
+
+- u[s] >= d(s, centroid[assign[s]])            (upper bound)
+- l[s, g] <= min over c in group g, c != assign[s] of d(s, c)
+                                               (lower bounds)
+- converged Yinyang assignments == Lloyd's exactly.
+
+Data is chosen adversarially: tight, well-separated clusters (knife-edge
+boundary samples) and k large enough that some clusters die (NaN
+centroids) during the run.
+"""
+
+import numpy as np
+import pytest
+
+from kmcuda_tpu import kmeans_tpu
+
+
+@pytest.fixture(scope="module")
+def tight():
+    rng = np.random.RandomState(0)
+    n, k, f = 30000, 256, 32
+    # fewer real blobs than requested clusters: contested clusters lose
+    # all members -> dead (NaN) centroids during the run
+    centers = (rng.rand(96, f) * 2).astype(np.float32)
+    x = (centers[rng.randint(0, 96, n)]
+         + 0.2 * rng.randn(n, f)).astype(np.float32)
+    return x, k
+
+
+def test_yinyang_matches_incremental_lloyd_tight_clusters(tight):
+    """Bitwise trajectory parity on knife-edge data.  The comparison pair
+    is Yinyang vs the *incremental* Lloyd path — both accumulate the same
+    delta stream, like the reference's kmeans_adjust in both algorithms.
+    (The public fused-Lloyd path differs from these two by ulp tie flips
+    on adversarial fixtures: its full segment-sums legitimately round
+    differently.)"""
+    import jax
+
+    from kmcuda_tpu.models import initialization as I
+    from kmcuda_tpu.models import lloyd as L
+    from kmcuda_tpu.models import yinyang as Y
+    from kmcuda_tpu.models.problem import prepare
+    from kmcuda_tpu.ops.distance import DistanceMetric
+    from kmcuda_tpu.parallel.mesh import Topology
+    from kmcuda_tpu.utils.logging import Logger
+
+    x, k = tight
+    topo = Topology(jax.devices()[:1])
+    p = prepare(x, k, DistanceMetric.L2, topo, Logger(0))
+    key = jax.random.key(5)
+    c0 = I.init_centroids(p, I.InitMethod.RANDOM, key)
+    lc, la, *_ = L.run_incremental(
+        p, c0, L.new_assignments(p), 0.0, max_iterations=60)
+    yc, ya, _b, _it = Y.run(
+        p, c0, L.new_assignments(p), 0.0, 25, max_iterations=60, key=key)
+    assert np.array_equal(np.asarray(la), np.asarray(ya))
+    assert np.array_equal(np.asarray(lc), np.asarray(yc), equal_nan=True)
+
+
+def test_bound_invariants(tight):
+    import jax
+    import jax.numpy as jnp
+
+    from kmcuda_tpu.models import initialization as I
+    from kmcuda_tpu.models import lloyd as L
+    from kmcuda_tpu.models.problem import prepare
+    from kmcuda_tpu.models.yinyang import _build_yy_run, _group_centroids
+    from kmcuda_tpu.ops.distance import DistanceMetric
+    from kmcuda_tpu.parallel.mesh import Topology
+    from kmcuda_tpu.utils.logging import Logger
+
+    x_np, k = tight
+    n = len(x_np)
+    groups = 25
+    topo = Topology(jax.devices()[:1])
+    p = prepare(x_np, k, DistanceMetric.L2, topo, Logger(0))
+    key = jax.random.key(5)
+    c0 = I.init_centroids(p, I.InitMethod.RANDOM, key)
+    c_d, a_d, sums_d, counts_d, _it, _ch = L.run_incremental(
+        p, c0, L.new_assignments(p), 0.11)
+    group_of, pad_src, pad_pen, cap = _group_centroids(
+        p, c_d, groups, jax.random.fold_in(key, 0x77))
+    runy = _build_yy_run(p.topo.mesh, k, groups, cap, p.metric, p.chunk)
+    out = runy(p.x, p.x_sq, p.valid, a_d, c_d, sums_d, counts_d,
+               p.topo.put_replicated(jnp.asarray(pad_src)),
+               p.topo.put_replicated(jnp.asarray(pad_pen)),
+               p.topo.put_replicated(jnp.asarray(group_of)),
+               jnp.int32(-1), jnp.int32(6))
+    c_fin, assign, _it2, _lch, _lpa, _lca, u_fin, l_fin = out
+    c_fin = np.asarray(c_fin).astype(np.float64)
+    assign = np.asarray(assign)[:n]
+    u = np.asarray(u_fin)[:n]
+    l_arr = np.asarray(l_fin)[:n]
+
+    alive = np.isfinite(c_fin).all(axis=1)
+    assert (~alive).sum() > 0, "fixture must produce dead centroids"
+    cz = np.where(alive[:, None], c_fin, 0.0)
+    xs = x_np.astype(np.float64)
+    d = np.sqrt(np.maximum(
+        (xs ** 2).sum(1)[:, None] + (cz ** 2).sum(1)[None, :]
+        - 2.0 * xs @ cz.T, 0.0))
+    d[:, ~alive] = np.inf
+
+    d_own = d[np.arange(n), assign]
+    assert (u + 1e-4 >= d_own).all(), \
+        "u must upper-bound the own-centroid distance"
+
+    dmask = d.copy()
+    dmask[np.arange(n), assign] = np.inf
+    gof = np.asarray(group_of)
+    for g_ in range(groups):
+        cols = np.where(gof == g_)[0]
+        if not len(cols):
+            continue
+        minother = dmask[:, cols].min(axis=1)
+        finite = np.isfinite(minother)
+        assert (l_arr[finite, g_] <= minother[finite] + 1e-4).all(), \
+            "l[%d] must lower-bound every other centroid of the group" % g_
