@@ -82,10 +82,12 @@ ASSIGN_TILE_F = 512
 KNN_TILE_Q = 512
 KNN_TILE_M = 2048
 
-#: Use the fused Pallas assignment kernel for the Lloyd hot loop when the
-#: problem shape supports it (ops/assign_pallas.py).  Interpreted on
-#: non-TPU backends.
-USE_PALLAS_ASSIGN = False
+#: Fused Pallas assignment kernel for the Lloyd hot loop
+#: (ops/assign_pallas.py).  "auto" = use it for bf16 storage (measured 12%
+#: faster than the XLA scan; at fp32-HIGHEST precision XLA wins), True =
+#: always when the shape fits, False = never.  Interpreted on non-TPU
+#: backends.
+USE_PALLAS_ASSIGN = "auto"
 
 #: Yinyang filter triage knob (0 = normal; 1 = treat every sample as a
 #: global-filter candidate; 2 = also skip the tightened re-test).  Only for

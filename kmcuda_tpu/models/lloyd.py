@@ -167,7 +167,11 @@ def run(problem, centroids, assignments, tolerance, max_iterations=None,
         max_iterations = config.DEFAULT_MAX_ITERATIONS
     max_iterations = min(max_iterations, config.DEFAULT_MAX_ITERATIONS)
     from kmcuda_tpu.ops import assign_pallas as AP
-    use_pallas = config.USE_PALLAS_ASSIGN and AP.supported(p.k, p.features)
+    flag = config.USE_PALLAS_ASSIGN
+    use_pallas = AP.supported(p.k, p.features) and (
+        flag is True or (flag == "auto" and p.dtype == jnp.bfloat16))
+    # the Pallas tile needs sample counts in multiples of 1024
+    use_pallas = use_pallas and p.n_pad % 1024 == 0 and p.chunk % 128 == 0
     run_fn = _build_run(p.topo.mesh, p.k, p.metric, p.chunk, use_pallas)
     tol_count = jnp.int32(int(tolerance * p.n))
     centroids, assignments, best, it, changed_log = run_fn(

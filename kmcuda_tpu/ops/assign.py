@@ -81,12 +81,16 @@ def _assign_update_pass(x, x_sq, valid, prev_assign, centroids, *,
                         n_clusters, metric, chunk, axis_name,
                         use_pallas=False, interpret=False):
     """The fused single-pass body shared by lloyd_step and lloyd_run."""
-    if use_pallas:
+    # interpret-mode (non-TPU) pallas under shard_map trips vma checks on
+    # kernel-internal literals; the kernel is exercised directly by
+    # tests/test_pallas.py and engages compiled on TPU
+    if use_pallas and not interpret:
         from kmcuda_tpu.ops import assign_pallas as AP
 
         aid, best, sums, counts, changed = AP.fused_lloyd_pass(
             x, valid, prev_assign, centroids, n_clusters=n_clusters,
-            metric=metric, tile=chunk, interpret=interpret)
+            metric=metric, tile=1024 if x.shape[0] % 1024 == 0 else chunk,
+            interpret=interpret, axis_name=axis_name)
         if axis_name is not None:
             sums = lax.psum(sums, axis_name)
             counts = lax.psum(counts, axis_name)
@@ -185,6 +189,8 @@ def lloyd_run_incremental(x, x_sq, valid, prev_assign, centroids, sums,
 
     k = n_clusters
 
+    centroids = centroids.astype(jnp.float32)
+
     def cond(carry):
         it, changed = carry[6], carry[7]
         return (it == 0) | ((changed > tol_count) & (it < max_iterations))
@@ -272,6 +278,8 @@ def lloyd_run(x, x_sq, valid, prev_assign, centroids, tol_count,
     ``centroids_used`` are the centroids the final assignment was computed
     against (the reference also stops before re-adjusting).
     """
+    centroids = centroids.astype(jnp.float32)
+
     def cond(carry):
         _c_used, _c_next, _assign, _best, it, changed, _log = carry
         return (it == 0) | ((changed > tol_count) & (it < max_iterations))

@@ -61,12 +61,14 @@ def _kernel(x_ref, ct_ref, csqpen_ref, ids_ref, valid_ref, prev_ref,
     best = jnp.min(s, axis=1)             # (TS,)
     ids = ids_ref[:]                       # (1, Kp) int32 original ids
     aid = jnp.min(jnp.where(s <= best[:, None], ids, k), axis=1)
-    aid = jnp.where(valid_ref[:] != 0, aid, k).astype(jnp.int32)
+    valid_v = valid_ref[:].reshape(-1)
+    aid = jnp.where(valid_v != 0, aid, k).astype(jnp.int32)
 
-    aid_ref[:] = aid.astype(jnp.uint32)
-    best_ref[:] = best
+    aid_ref[:] = aid.astype(jnp.uint32).reshape(aid_ref.shape)
+    best_ref[:] = best.reshape(best_ref.shape)
 
     onehot = aid[:, None] == ids           # (TS, Kp) — pad cols never hit
+
 
     @pl.when(i == 0)
     def _init():
@@ -74,21 +76,26 @@ def _kernel(x_ref, ct_ref, csqpen_ref, ids_ref, valid_ref, prev_ref,
         counts_ref[:] = jnp.zeros_like(counts_ref)
         changed_ref[0, 0] = jnp.int32(0)
 
-    sums_ref[:] += jnp.dot(onehot.astype(x_ref.dtype).T, x_ref[:],
-                           preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST
-                           if x_ref.dtype == jnp.float32 else
-                           jax.lax.Precision.DEFAULT)
+    # contract over the sample axis directly (no materialized transpose)
+    sums_ref[:] += jax.lax.dot_general(
+        onehot.astype(x_ref.dtype), x_ref[:],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST
+        if x_ref.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
     counts_ref[:] += jnp.sum(onehot, axis=0, dtype=jnp.int32)[None, :]
     changed_ref[0, 0] += jnp.sum(
-        aid.astype(jnp.uint32) != prev_ref[:], dtype=jnp.int32)
+        aid.astype(jnp.uint32) != prev_ref[:].reshape(-1),
+        dtype=jnp.int32)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_clusters", "metric", "tile", "interpret"))
+    static_argnames=("n_clusters", "metric", "tile", "interpret",
+                     "axis_name"))
 def fused_lloyd_pass(x, valid, prev_assign, centroids, *, n_clusters: int,
-                     metric: D.DistanceMetric, tile: int, interpret: bool):
+                     metric: D.DistanceMetric, tile: int, interpret: bool,
+                     axis_name=None):
     """One fused assignment+update pass over the local shard.
 
     Returns (new_centroids (K, F) fp32 — pre-psum local segment mean parts
@@ -110,6 +117,20 @@ def fused_lloyd_pass(x, valid, prev_assign, centroids, *, n_clusters: int,
         bias = penalty[None, :]
 
     grid = nl // tile
+    rows = tile // 128
+    vma = frozenset() if axis_name is None else frozenset({axis_name})
+    if axis_name is not None:
+        # align vma: replicated panels join the device-varying operands
+        from kmcuda_tpu.ops.assign import _mark_varying
+
+        ct_panel, bias, orig_ids = _mark_varying(
+            (ct_panel, bias, orig_ids), axis_name)
+    # vectors travel as (nl/128, 128) 2D arrays with (tile/128, 128)
+    # blocks: plain 1D blocks force a Mosaic tiling that clashes with
+    # XLA's layout for large 1D arrays, and sublane dims must be
+    # multiples of 8 (so tile must be a multiple of 1024)
+    valid2 = valid.astype(jnp.int32).reshape(nl // 128, 128)
+    prev2 = prev_assign.reshape(nl // 128, 128)
     aid, best, sums, counts, changed = pl.pallas_call(
         functools.partial(_kernel, n_clusters=k),
         grid=(grid,),
@@ -122,15 +143,15 @@ def fused_lloyd_pass(x, valid, prev_assign, centroids, *, n_clusters: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, kp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile,), lambda i: (i,),
+            pl.BlockSpec((rows, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile,), lambda i: (i,),
+            pl.BlockSpec((rows, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((tile,), lambda i: (i,),
+            pl.BlockSpec((rows, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile,), lambda i: (i,),
+            pl.BlockSpec((rows, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((kp, f), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -139,13 +160,15 @@ def fused_lloyd_pass(x, valid, prev_assign, centroids, *, n_clusters: int,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nl,), jnp.uint32),
-            jax.ShapeDtypeStruct((nl,), jnp.float32),
-            jax.ShapeDtypeStruct((kp, f), jnp.float32),
-            jax.ShapeDtypeStruct((1, kp), jnp.int32),
-            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((nl // 128, 128), jnp.uint32, vma=vma),
+            jax.ShapeDtypeStruct((nl // 128, 128), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((kp, f), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((1, kp), jnp.int32, vma=vma),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32, vma=vma),
         ],
         interpret=interpret,
-    )(x, ct_panel, bias, orig_ids[None, :], valid.astype(jnp.int32),
-      prev_assign)
-    return (aid, best, sums[:k], counts[0, :k], changed[0, 0])
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(x, ct_panel, bias, orig_ids[None, :], valid2, prev2)
+    return (aid.reshape(nl), best.reshape(nl), sums[:k], counts[0, :k],
+            changed[0, 0])

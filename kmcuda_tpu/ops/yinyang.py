@@ -89,6 +89,8 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
     cand_log).
     """
     k, g, p = n_clusters, groups, group_cap
+    centroids0 = centroids0.astype(jnp.float32)
+    sums0 = sums0.astype(jnp.float32)
     nl, f = x.shape
     nchunks = nl // chunk
     iota_g = lax.broadcasted_iota(jnp.int32, (1, g), 1)
