@@ -37,7 +37,6 @@ from jax import lax, random
 
 from kmcuda_tpu import config
 from kmcuda_tpu.ops import distance as D
-from kmcuda_tpu.ops.assign import pad_clusters
 from kmcuda_tpu.utils.errors import KMTPUInvalidArguments
 
 

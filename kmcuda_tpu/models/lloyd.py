@@ -187,10 +187,3 @@ def run(problem, centroids, assignments, tolerance, max_iterations=None,
     return centroids, assignments, best, it, \
         changed_log[-1] if changed_log else 0
 
-
-@functools.partial(jax.jit, static_argnames=("metric",))
-def average_distance(best_scores, x_sq, valid, n_valid, *, metric):
-    """Mean distance of valid samples to their centroid — the reference's
-    kmeans_cuda_calc_average_distance (kmeans.cu:675-691, 1265-1300)."""
-    d = D.finalize_distance(best_scores, x_sq, metric)
-    return jnp.sum(jnp.where(valid, d, 0.0)) / n_valid

@@ -16,8 +16,9 @@ cluster, and the unit of search is a *query chunk*, not a thread:
   tile granularity: tile j can hold a neighbor of a query in cluster a
   only if ``T[a, j] - d_own <= kth``;
 - each query chunk visits tiles most-promising-first (ascending chunk-min
-  bound) and skips a tile with ``lax.cond`` when no query in the chunk can
-  beat its current kth distance — the running top-k replaces the heap;
+  bound) in a dynamic-trip-count while loop that stops as soon as the next
+  tile's bound exceeds every query's running kth distance — the running
+  top-k replaces the heap;
 - computed-tile counts give the reference's ``calculated %f of all the
   distances`` pruning metric.
 
@@ -95,9 +96,6 @@ def search(xq, xq_sq, q_own, q_assign, xm, m_valid, t_mat, *,
 
     xm_sq = D.row_sq_norms(xm)
     m_pen = jnp.where(m_valid, 0.0, config.PAD_PENALTY)
-    xmt = xm.reshape(nt, tile_m, f)
-    sqt = xm_sq.reshape(nt, tile_m)
-    pent = m_pen.reshape(nt, tile_m)
 
     nchunks = nl // chunk
     iota_k1 = lax.broadcasted_iota(jnp.uint32, (1, k + 1), 1)
@@ -112,44 +110,50 @@ def search(xq, xq_sq, q_own, q_assign, xm, m_valid, t_mat, *,
     def per_chunk(count, inp):
         qb, qsqb, ownb, ab, qposb = inp
         oh = (ab[:, None] == iota_k1).astype(jnp.float32)
-        tb = oh @ t_mat - ownb[:, None]                    # (B, nt)
+        tb = jnp.dot(oh, t_mat,
+                     precision=lax.Precision.HIGHEST) - ownb[:, None]
         tb = tb - SLACK * (1.0 + jnp.abs(tb))
-        tile_order = jnp.argsort(jnp.min(tb, axis=0))
+        tb_min = jnp.min(tb, axis=0)                         # (nt,)
+        # visit tiles most-promising-first and STOP once the next tile's
+        # chunk-min bound exceeds every query's running kth distance: all
+        # later tiles bound even higher, so the visited prefix is provably
+        # sufficient.  A dynamic-trip while beats a cond-per-tile scan
+        # (skipped tail costs nothing, and the nested cond-in-scan-in-scan
+        # construct faulted the TPU at scale).
+        sorted_min, tile_order = lax.sort(
+            (tb_min, jnp.arange(nt, dtype=jnp.int32)), num_keys=1)
 
-        def visit(carry, r):
-            best_d, best_i, count = carry
+        def vcond(carry):
+            r, best_d, _best_i, _count = carry
+            tau_max = jnp.max(best_d[:, k_neighbors - 1])
+            return (r < nt) & (sorted_min[r] <= tau_max)
+
+        def vbody(carry):
+            r, best_d, best_i, count = carry
             j = tile_order[r]
-            tau = best_d[:, k_neighbors - 1]
+            mt = lax.dynamic_slice(xm, (j * tile_m, 0), (tile_m, f))
+            msq = lax.dynamic_slice(xm_sq, (j * tile_m,), (tile_m,))
+            mpen = lax.dynamic_slice(m_pen, (j * tile_m,), (tile_m,))
+            s = D.scores(qb, mt.T.astype(qb.dtype), msq, mpen, metric)
+            d = D.finalize_distance(s, qsqb[:, None], metric)
+            d = d * (1.0 + SLACK)  # upward kth margin
+            mpos = j * tile_m + iota_m[0]
+            d = jnp.where(qposb[:, None] == mpos[None, :], INF, d)
+            d = jnp.where(mpen[None, :] > 0, INF, d)
+            cat_d = jnp.concatenate([best_d, d], axis=1)
+            cat_i = jnp.concatenate(
+                [best_i, jnp.broadcast_to(mpos[None, :], d.shape)],
+                axis=1)
+            neg_top, arg = lax.top_k(-cat_d, kk)
+            return (r + 1, -neg_top,
+                    jnp.take_along_axis(cat_i, arg, axis=1), count + 1)
 
-            def active(args):
-                best_d, best_i, count = args
-                mt = xmt[j]
-                s = D.scores(qb, mt.T.astype(qb.dtype), sqt[j], pent[j],
-                             metric)
-                d = D.finalize_distance(s, qsqb[:, None], metric)
-                d = d * (1.0 + SLACK)  # upward kth margin
-                mpos = j * tile_m + iota_m[0]
-                d = jnp.where(qposb[:, None] == mpos[None, :], INF, d)
-                d = jnp.where(pent[j][None, :] > 0, INF, d)
-                cat_d = jnp.concatenate([best_d, d], axis=1)
-                cat_i = jnp.concatenate(
-                    [best_i, jnp.broadcast_to(mpos[None, :], d.shape)],
-                    axis=1)
-                neg_top, arg = lax.top_k(-cat_d, kk)
-                return (-neg_top, jnp.take_along_axis(cat_i, arg, axis=1),
-                        count + 1)
-
-            hit = jnp.any(tb[:, j] <= tau)
-            return lax.cond(hit, active, lambda a: a,
-                            (best_d, best_i, count)), None
-
-        init = (jnp.full((chunk, kk), INF),
+        init = (jnp.int32(0), jnp.full((chunk, kk), INF),
                 jnp.full((chunk, kk), jnp.int32(-1)), count)
         if axis_name is not None:
             from kmcuda_tpu.ops.assign import _mark_varying
             init = _mark_varying(init, axis_name)
-        (bd, bi, count), _ = lax.scan(
-            visit, init, jnp.arange(nt, dtype=jnp.int32))
+        (_r, bd, bi, count) = lax.while_loop(vcond, vbody, init)
 
         # exact cancellation-free rescore of the kk candidates
         cand = jnp.maximum(bi, 0)
