@@ -26,6 +26,7 @@ from jax.sharding import PartitionSpec as P
 
 from kmcuda_tpu import config
 from kmcuda_tpu.ops import distance as D
+from kmcuda_tpu.ops import knn_prune as KP
 from kmcuda_tpu.parallel.mesh import AXIS
 
 INF = jnp.float32(jnp.inf)
@@ -91,10 +92,10 @@ def _search(xq, xq_sq, q_ids, xm, m_valid, *, k, metric, chunk, tile_m,
             cat_d = jnp.concatenate([best_d, d], axis=1)
             cat_i = jnp.concatenate([best_i, jnp.broadcast_to(
                 midt[None, :], d.shape)], axis=1)
-            # top_k is stable (prefers lower positions), so earlier members
-            # win ties — matching ascending-id tie order.
-            neg_top, arg = lax.top_k(-cat_d, kk)
-            return (-neg_top, jnp.take_along_axis(cat_i, arg, axis=1)), None
+            # argmin-extraction selection (ties -> lowest member id); no
+            # lax.top_k / lax.sort, which fault the TPU runtime inside
+            # large scanned searches (see ops/knn_prune.select_k).
+            return KP.select_k(cat_d, cat_i, kk), None
 
         init = mark_varying((jnp.full((chunk, kk), INF),
                              jnp.full((chunk, kk), jnp.int32(-1))))
@@ -111,8 +112,8 @@ def _search(xq, xq_sq, q_ids, xm, m_valid, *, k, metric, chunk, tile_m,
             chord = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
             d_exact = 2.0 * jnp.arcsin(jnp.clip(chord * 0.5, 0.0, 1.0))
         d_exact = jnp.where(bi < 0, INF, d_exact)
-        d_sorted, i_sorted = lax.sort((d_exact, cand), num_keys=2)
-        return None, (i_sorted[:, :k], d_sorted[:, :k])
+        d_sorted, i_sorted = KP.select_k(d_exact, cand, k)
+        return None, (i_sorted, d_sorted)
 
     _, (nbr, dist) = lax.scan(
         per_chunk, None, (xqs, xqsqs, qids))

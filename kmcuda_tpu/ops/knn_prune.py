@@ -45,6 +45,34 @@ INF = jnp.float32(jnp.inf)
 SLACK = 1e-5
 
 
+def select_k(d, idx, kk):
+    """Ascending (distance, id)-lexicographic k-smallest selection.
+
+    ``lax.top_k`` / ``lax.sort`` inside this search's while-loop fault the
+    TPU runtime at scale (isolated empirically: the identical loop with the
+    merge removed runs clean at 1M+ samples, adding either sort op faults
+    the device).  This selection uses only min / compare / where — the ops
+    the proven-clean variant used — at ``kk`` passes over the candidate
+    row, ~5-15%% of the tile matmul's work for typical (k, features).
+
+    d:   (n, m) candidate distances.
+    idx: (n, m) candidate ids (unique per row among finite-distance
+         entries; duplicates may exist among INF sentinels and are
+         consumed in one step, which is harmless).
+    Returns (dists (n, kk), ids (n, kk)) ascending by (distance, id).
+    """
+    big_i = jnp.int32(2**31 - 1)
+    out_d, out_i = [], []
+    for _ in range(kk):
+        dm = jnp.min(d, axis=1)
+        ismin = d == dm[:, None]
+        sel = jnp.min(jnp.where(ismin, idx, big_i), axis=1)
+        d = jnp.where(ismin & (idx == sel[:, None]), INF, d)
+        out_d.append(dm)
+        out_i.append(sel)
+    return jnp.stack(out_d, axis=1), jnp.stack(out_i, axis=1)
+
+
 def tile_bounds(cd, radii, a_sorted, m_valid, n_tiles, tile_m):
     """T (k+1, n_tiles): per (query-cluster, member-tile) pruning bound.
 
@@ -144,9 +172,8 @@ def search(xq, xq_sq, q_own, q_assign, xm, m_valid, t_mat, *,
             cat_i = jnp.concatenate(
                 [best_i, jnp.broadcast_to(mpos[None, :], d.shape)],
                 axis=1)
-            neg_top, arg = lax.top_k(-cat_d, kk)
-            return (r + 1, -neg_top,
-                    jnp.take_along_axis(cat_i, arg, axis=1), count + 1)
+            nbd, nbi = select_k(cat_d, cat_i, kk)
+            return (r + 1, nbd, nbi, count + 1)
 
         init = (jnp.int32(0), jnp.full((chunk, kk), INF),
                 jnp.full((chunk, kk), jnp.int32(-1)), count)
@@ -165,9 +192,8 @@ def search(xq, xq_sq, q_own, q_assign, xm, m_valid, t_mat, *,
         else:
             d_exact = 2.0 * jnp.arcsin(jnp.clip(chord * 0.5, 0.0, 1.0))
         d_exact = jnp.where(bi < 0, INF, d_exact)
-        d_sorted, i_sorted = lax.sort((d_exact, cand), num_keys=2)
-        return count, (i_sorted[:, :k_neighbors],
-                       d_sorted[:, :k_neighbors])
+        d_sorted, i_sorted = select_k(d_exact, cand, k_neighbors)
+        return count, (i_sorted, d_sorted)
 
     count0 = jnp.int32(0)
     if axis_name is not None:
