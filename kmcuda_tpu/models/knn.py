@@ -21,6 +21,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.sharding import PartitionSpec as P
 
@@ -29,7 +30,9 @@ from kmcuda_tpu.ops import distance as D
 from kmcuda_tpu.ops import knn_prune as KP
 from kmcuda_tpu.parallel.mesh import AXIS
 
-INF = jnp.float32(jnp.inf)
+# numpy, not jnp: module import must not initialize a jax backend (the C
+# ABI's embedded interpreter selects its platform after import)
+INF = np.float32(np.inf)
 
 
 @functools.partial(

@@ -39,7 +39,12 @@ from jax import lax
 from kmcuda_tpu import config
 from kmcuda_tpu.ops import distance as D
 
-INF = jnp.float32(jnp.inf)
+import numpy as np
+
+#: +inf as a weak-typed scalar; a numpy constant so importing this module
+#: never initializes a jax backend (the C ABI's embedded interpreter picks
+#: its platform *after* import, capi._platform_setup)
+INF = np.float32(np.inf)
 
 #: relative slack absorbing dot-form rounding in the pruning inequalities
 SLACK = 1e-5
