@@ -89,6 +89,16 @@ KNN_TILE_M = 2048
 #: backends.
 USE_PALLAS_ASSIGN = "auto"
 
+#: When more than this fraction of all samples pass the drift (global)
+#: filter, the Yinyang iteration runs DENSE: one natural-order pass over
+#: every sample (score + group-panel matmuls), refreshing all bounds —
+#: the TPU form of the reference's bounds refresh
+#: (YINYANG_REFRESH_EPSILON pass, kmeans.cu:1117-1158).  Below it, the
+#: candidates are compacted and only they are touched (gather/scatter
+#: cost proportional to the candidate count).  Results are identical
+#: either way; this only trades wall time.
+YY_DENSE_FRACTION = 0.4
+
 #: Yinyang filter triage knob (0 = normal; 1 = treat every sample as a
 #: global-filter candidate; 2 = also skip the tightened re-test).  Only for
 #: debugging filter soundness.

@@ -18,7 +18,12 @@ centroid of group g (kmeans_yy_init, kmeans.cu:432-485).  Per iteration:
    first tightens u to the exact own-centroid distance (per-candidate F
    work) and, only when some candidate in the chunk still passes, runs the
    full *local filter* assignment matmul (kmeans_yy_local_filter,
-   kmeans.cu:585-672), which also yields fresh exact bounds.
+   kmeans.cu:585-672), which also yields fresh exact bounds.  When the
+   global filter passes more than ``config.YY_DENSE_FRACTION`` of all
+   samples, the iteration instead runs one dense natural-order pass over
+   everything (no compaction, no gathers/scatters, refreshes every bound)
+   — never materially slower than a Lloyd iteration, where the compacted
+   machinery at ~100% candidacy would be several times slower.
 
 TPU-native design decisions:
 
@@ -112,6 +117,7 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
     ncheap = nl // cheap_chunk
     vc = valid.reshape(ncheap, cheap_chunk)
     offs = lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)[:, 0]
+    n_valid_local = jnp.sum(valid, dtype=jnp.int32)
 
     def cond(carry):
         it, changed = carry[5], carry[6]
@@ -197,75 +203,13 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
         lmin_all = lmin_all.reshape(nl)
         cand = cand.reshape(nl)
 
-        # ---- phase 2a: tighten u over the compacted candidates ----------
-        # (the reference's global-filter tightening, kmeans.cu:541-582):
-        # per-candidate F work only, no k-matmul.  Results are written
-        # straight back to row positions with per-chunk scatters (cost
-        # proportional to the candidate count) — full-size dynamic-index
-        # gathers/scatters run ~20x below HBM speed on TPU, so nothing
-        # O(n) goes through them.
-        order, n_cand = C.stable_partition(cand)
-        n_active = (n_cand + chunk - 1) // chunk
+        n_cand = jnp.sum(cand, dtype=jnp.int32)
 
-        def tcond(carry):
-            return carry[0] < n_active
-
-        def tbody(carry):
-            i, u3_full, passed_full = carry
-            base = i * chunk
-            idx = lax.dynamic_slice(order, (base,), (chunk,))
-            row_ok = (base + offs) < n_cand
-            xb = x[idx]
-            xsqb = x_sq[idx]
-            ab = jnp.where(row_ok, assign[idx], jnp.uint32(k))
-            lminb = lmin_all[idx]
-            oh1 = (ab[:, None] == iota_k1)
-            cb = jnp.dot(oh1.astype(x.dtype), c_new_ext.astype(x.dtype),
-                         preferred_element_type=jnp.float32,
-                         precision=lax.Precision.HIGHEST)
-            prod = jnp.sum(xb.astype(jnp.float32) * cb, axis=1)
-            if metric == D.DistanceMetric.L2:
-                score = jnp.dot(oh1.astype(jnp.float32), c_sq_ext,
-                                precision=lax.Precision.HIGHEST
-                                ) - 2.0 * prod
-                # margin: this rowwise dot rounds differently than the
-                # filter matmul; never skip on rounding noise
-                score = score + eps * (xsqb + jnp.abs(score))
-            else:
-                score = -prod + eps
-            score = jnp.where(jnp.isfinite(score), score,
-                              config.PAD_PENALTY)
-            u_ex = D.finalize_distance(score, xsqb, metric)
-            passed_b = row_ok & (u_ex >= lminb)
-            if debug_mode == 2:   # soundness triage: distrust the tighten
-                passed_b = row_ok
-            idx_ok = jnp.where(row_ok, idx, nl)
-            return (i + 1,
-                    u3_full.at[idx_ok].set(u_ex, mode="drop"),
-                    passed_full.at[idx_ok].set(passed_b, mode="drop"))
-
-        tinit = _mark_varying(
-            (jnp.int32(0), u2, jnp.zeros((nl,), bool)), axis_name)
-        _i, u3, passed = lax.while_loop(tcond, tbody, tinit)
-        passed_n = jnp.sum(passed, dtype=jnp.int32)
-
-        # ---- phase 2b: full local filter over the compacted passed set --
-        # (the second compaction keys the expensive matmul loop to the
-        # passed set; passed samples scattered among candidate chunks
-        # would otherwise trigger the matmul on nearly every chunk)
-        order2, n_passed = C.stable_partition(passed)
-        n_active2 = (n_passed + chunk - 1) // chunk
-
-        def lcond(carry):
-            return carry[0] < n_active2
-
-        def lbody(carry):
-            (i, assign_full, u_full, l_full) = carry
-            base = i * chunk
-            idx = lax.dynamic_slice(order2, (base,), (chunk,))
-            row_ok = (base + offs) < n_passed
-            xb = x[idx]
-            xsqb = x_sq[idx]
+        def exact_assign_bounds(xb, xsqb):
+            """Exact assignment + fresh (u, l) bounds for one sample block
+            — the local-filter math (kmeans_yy_local_filter,
+            kmeans.cu:585-672), shared by the compacted and dense paths
+            so both produce bitwise-identical values per row."""
             s = D.scores(xb, c_t, c_sq_pad, penalty, metric)
             best, aid = D.argmin_lowest_index(s, orig_ids, k)
             # the stored upper bound gets an upward margin: the raw score
@@ -282,7 +226,7 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
             sp = (jnp.dot(xb, pad_panel,
                           preferred_element_type=jnp.float32,
                           precision=D.mm_precision(x.dtype))
-                  + pad_bias[None, :]).reshape(chunk, g, p)
+                  + pad_bias[None, :]).reshape(xb.shape[0], g, p)
             sp = jnp.where(jnp.isfinite(sp), sp, config.PAD_PENALTY)
             m1 = jnp.min(sp, axis=2)
             # the group whose bound must exclude one centroid is the
@@ -310,15 +254,135 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
             # differently than the natural-layout one the assignments
             # (and u) come from; a lower bound must never exceed truth
             l_new = l_new - eps * (1.0 + l_new)
-            idx_ok = jnp.where(row_ok, idx, nl)
-            return (i + 1,
-                    assign_full.at[idx_ok].set(aid, mode="drop"),
-                    u_full.at[idx_ok].set(u_new, mode="drop"),
-                    l_full.at[idx_ok].set(l_new, mode="drop"))
+            return aid, u_new, l_new
 
-        linit = _mark_varying(
-            (jnp.int32(0), assign, u3, l2), axis_name)
-        (_i2, assign2, u4, l4) = lax.while_loop(lcond, lbody, linit)
+        def sparse_iter(assign, u2, l2, cand):
+            """Compacted path: tighten u over the candidates, then run the
+            local filter only over the samples that still pass.  Gathers /
+            scatters cost O(candidates), worth it only when the global
+            filter actually filters."""
+            # ---- phase 2a: tighten u over the compacted candidates ------
+            # (the reference's global-filter tightening, kmeans.cu:541-582):
+            # per-candidate F work only, no k-matmul.  Results are written
+            # straight back to row positions with per-chunk scatters (cost
+            # proportional to the candidate count) — full-size
+            # dynamic-index gathers/scatters run ~20x below HBM speed on
+            # TPU, so nothing O(n) goes through them.
+            order, n_cand = C.stable_partition(cand)
+            n_active = (n_cand + chunk - 1) // chunk
+
+            def tcond(carry):
+                return carry[0] < n_active
+
+            def tbody(carry):
+                i, u3_full, passed_full = carry
+                base = i * chunk
+                idx = lax.dynamic_slice(order, (base,), (chunk,))
+                row_ok = (base + offs) < n_cand
+                xb = x[idx]
+                xsqb = x_sq[idx]
+                ab = jnp.where(row_ok, assign[idx], jnp.uint32(k))
+                lminb = lmin_all[idx]
+                oh1 = (ab[:, None] == iota_k1)
+                cb = jnp.dot(oh1.astype(x.dtype), c_new_ext.astype(x.dtype),
+                             preferred_element_type=jnp.float32,
+                             precision=lax.Precision.HIGHEST)
+                prod = jnp.sum(xb.astype(jnp.float32) * cb, axis=1)
+                if metric == D.DistanceMetric.L2:
+                    score = jnp.dot(oh1.astype(jnp.float32), c_sq_ext,
+                                    precision=lax.Precision.HIGHEST
+                                    ) - 2.0 * prod
+                    # margin: this rowwise dot rounds differently than the
+                    # filter matmul; never skip on rounding noise
+                    score = score + eps * (xsqb + jnp.abs(score))
+                else:
+                    score = -prod + eps
+                score = jnp.where(jnp.isfinite(score), score,
+                                  config.PAD_PENALTY)
+                u_ex = D.finalize_distance(score, xsqb, metric)
+                passed_b = row_ok & (u_ex >= lminb)
+                if debug_mode == 2:  # soundness triage: distrust the tighten
+                    passed_b = row_ok
+                idx_ok = jnp.where(row_ok, idx, nl)
+                return (i + 1,
+                        u3_full.at[idx_ok].set(u_ex, mode="drop"),
+                        passed_full.at[idx_ok].set(passed_b, mode="drop"))
+
+            tinit = _mark_varying(
+                (jnp.int32(0), u2, jnp.zeros((nl,), bool)), axis_name)
+            _i, u3, passed = lax.while_loop(tcond, tbody, tinit)
+            passed_n = jnp.sum(passed, dtype=jnp.int32)
+
+            # ---- phase 2b: local filter over the compacted passed set ---
+            # (the second compaction keys the expensive matmul loop to the
+            # passed set; passed samples scattered among candidate chunks
+            # would otherwise trigger the matmul on nearly every chunk)
+            order2, n_passed = C.stable_partition(passed)
+            n_active2 = (n_passed + chunk - 1) // chunk
+
+            def lcond(carry):
+                return carry[0] < n_active2
+
+            def lbody(carry):
+                (i, assign_full, u_full, l_full) = carry
+                base = i * chunk
+                idx = lax.dynamic_slice(order2, (base,), (chunk,))
+                row_ok = (base + offs) < n_passed
+                aid, u_new, l_new = exact_assign_bounds(x[idx], x_sq[idx])
+                idx_ok = jnp.where(row_ok, idx, nl)
+                return (i + 1,
+                        assign_full.at[idx_ok].set(aid, mode="drop"),
+                        u_full.at[idx_ok].set(u_new, mode="drop"),
+                        l_full.at[idx_ok].set(l_new, mode="drop"))
+
+            linit = _mark_varying(
+                (jnp.int32(0), assign, u3, l2), axis_name)
+            (_i2, assign2, u4, l4) = lax.while_loop(lcond, lbody, linit)
+            return assign2, u4, l4, passed_n
+
+        def dense_iter(assign, u2, l2, cand):
+            """Dense path: when the global filter passes (almost)
+            everything, one natural-order pass over ALL samples is
+            strictly cheaper than compaction — no gathers, no scatters,
+            no tighten pass — and refreshes every sample's bounds
+            exactly: the TPU form of the reference's bounds refresh
+            (kmeans_yy_init re-run, YINYANG_REFRESH_EPSILON,
+            kmeans.cu:1117-1158).  Per-row results are bitwise identical
+            to the compacted path (matmul elements are row-independent),
+            so which path an iteration takes never changes the output,
+            only the wall time."""
+            def dbody(_, inp):
+                xb, xsqb, vb, ab, ub, lb = inp
+                aid, u_new, l_new = exact_assign_bounds(xb, xsqb)
+                aid = jnp.where(vb, aid, jnp.uint32(k))
+                return None, (jnp.where(vb, aid, ab),
+                              jnp.where(vb, u_new, ub),
+                              jnp.where(vb[:, None], l_new, lb))
+
+            _, (a2, u4, l4) = lax.scan(
+                dbody, None,
+                (x.reshape(nchunks, chunk, f),
+                 x_sq.reshape(nchunks, chunk),
+                 valid.reshape(nchunks, chunk),
+                 assign.reshape(nchunks, chunk),
+                 u2.reshape(nchunks, chunk),
+                 l2.reshape(nchunks, chunk, g)))
+            return (a2.reshape(nl), u4.reshape(nl), l4.reshape(nl, g),
+                    n_valid_local)
+
+        # global (replicated) dense/compacted decision so every shard
+        # compiles and takes the same branch
+        n_cand_all = n_cand
+        n_all = jnp.int32(nl)
+        if axis_name is not None:
+            n_cand_all = lax.psum(n_cand_all, axis_name)
+            n_all = lax.psum(n_all, axis_name)
+        use_dense = (n_cand_all.astype(jnp.float32)
+                     > config.YY_DENSE_FRACTION * n_all.astype(jnp.float32))
+        if debug_mode != 0:  # triage modes must exercise the sparse path
+            use_dense = jnp.bool_(False)
+        assign2, u4, l4, passed_n = lax.cond(
+            use_dense, dense_iter, sparse_iter, assign, u2, l2, cand)
 
         # ---- phase 3: incremental centroid update from the moved set ----
         morder, n_moved = C.stable_partition(assign2 != assign)
@@ -331,12 +395,9 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
             d_counts = lax.psum(d_counts, axis_name)
             changed2 = lax.psum(changed2, axis_name)
             passed_n = lax.psum(passed_n, axis_name)
-        n_cand_g = n_cand
-        if axis_name is not None:
-            n_cand_g = lax.psum(n_cand_g, axis_name)
         log_ch = log_ch.at[it].set(changed2)
         log_pa = log_pa.at[it].set(passed_n)
-        log_ca = log_ca.at[it].set(n_cand_g)
+        log_ca = log_ca.at[it].set(n_cand_all)
         return (c_new, assign2, u4, l4,
                 (sums + d_sums, counts + d_counts), it + 1, changed2,
                 log_ch, log_pa, log_ca)
