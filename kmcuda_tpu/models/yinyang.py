@@ -50,29 +50,58 @@ def _build_yy_run(mesh, n_clusters, groups, group_cap, metric, chunk,
     return jax.jit(mapped, donate_argnums=(3,))
 
 
+@functools.partial(jax.jit, static_argnames=("groups", "metric", "chunk"))
+def _group_kmeans(c_in, key, tol_count, *, groups, metric, chunk):
+    """The recursive k-means over the centroids (kmeans.cu:1061-1094) as
+    ONE jitted program: k-means++ seed + on-device Lloyd loop + the
+    centroid->group-center distance matrix.  The previous form (prepare a
+    sub-problem, separate init / run / distance dispatches) paid several
+    host round-trips, each of which costs tens of ms over a remote TPU
+    link — a fixed per-run cost that dominated short Yinyang runs.
+
+    c_in: (kp, F) fp32, NaN rows = dead centroids.
+    Returns (g_assign (kp,) uint32 — ``groups`` for dead rows,
+    dists (kp, groups) f32)."""
+    from kmcuda_tpu.models import initialization as I
+    from kmcuda_tpu.ops import assign as A
+
+    kp = c_in.shape[0]
+    valid = jnp.all(jnp.isfinite(c_in), axis=1)
+    x = jnp.where(valid[:, None], c_in, 0.0)
+    x_sq = D.row_sq_norms(x)
+    c0 = I._init_plus_plus(x, x_sq, valid, jnp.sum(valid, dtype=jnp.int32),
+                           key, k=groups, metric=metric)
+    prev = jnp.full((kp,), groups, jnp.uint32)
+    g_cent, g_assign, _best, _it, _log = A.lloyd_run(
+        x, x_sq, valid, prev, c0, tol_count,
+        jnp.int32(config.DEFAULT_MAX_ITERATIONS), n_clusters=groups,
+        metric=metric, chunk=chunk, axis_name=None)
+    dists = D.pairwise_distance(x, g_cent, metric)
+    return g_assign, dists
+
+
 def _group_centroids(problem, centroids, groups, key):
     """Recursive k-means over the centroids (kmeans.cu:1061-1094), then
     capacity balancing for the padded group layout.
 
     Returns (group_of (k,) int32 np, pad_src (G,P) int32 np,
     pad_pen (G,P) f32 np, P)."""
-    from kmcuda_tpu.models import initialization as I
-    from kmcuda_tpu.models.problem import prepare
-
     p = problem
     k = p.k
-    sub = prepare(centroids, groups, p.metric, p.topo, Logger(0))
-    c0 = I.init_centroids(sub, I.InitMethod.PLUS_PLUS, key)
-    a0 = L.new_assignments(sub)
-    g_cent, g_assign, _best, _it, _ch = L.run(
-        sub, c0, a0, config.YINYANG_GROUP_TOLERANCE)
-    group_of = np.asarray(jax.device_get(g_assign[:k])).astype(np.int64)
+    kp = -(-k // 256) * 256  # stable jit shapes across close k
+    c_pad = jnp.full((kp, p.features), jnp.nan, jnp.float32).at[:k].set(
+        jnp.asarray(centroids, jnp.float32))
+    chunk = kp
+    while chunk > 2048 and chunk % 2 == 0:
+        chunk //= 2
+    g_assign, dists = _group_kmeans(
+        c_pad, key, jnp.int32(int(config.YINYANG_GROUP_TOLERANCE * k)),
+        groups=groups, metric=p.metric, chunk=chunk)
+    # ONE host readback for the whole grouping phase
+    g_assign, dists = jax.device_get((g_assign, dists))
+    group_of = np.asarray(g_assign)[:k].astype(np.int64)
     # NaN centroids got the invalid marker == groups; they stay groupless.
-
-    # distances centroid -> group center, for capacity balancing
-    dists = np.asarray(jax.device_get(D.pairwise_distance(
-        jnp.nan_to_num(jnp.asarray(centroids)), g_cent, p.metric)))
-    dists = np.nan_to_num(dists, nan=np.inf, posinf=np.inf)
+    dists = np.nan_to_num(np.asarray(dists)[:k], nan=np.inf, posinf=np.inf)
 
     cap = max(2, int(np.ceil(1.3 * k / groups)))
     cap = int(-(-cap // 4) * 4)  # stabilize jit cache across runs

@@ -25,6 +25,12 @@ from jax import lax
 from kmcuda_tpu.ops.assign import _mark_varying
 from kmcuda_tpu.ops.distance import mm_precision as _mm_precision
 
+#: above this fraction of locally-moved rows the delta is accumulated by a
+#: dense natural-order pass instead of gather chunks (same result: the
+#: decision is a deterministic function of the data, and zero-diff rows
+#: add exact zeros)
+DELTA_DENSE_FRACTION = 0.35
+
 
 def stable_partition(mask):
     """Permutation that moves ``mask`` rows to the front, preserving order.
@@ -61,9 +67,12 @@ def delta_sums(x, assign_new, assign_old, order, n_changed, *,
     """Centroid-sum/count deltas from the reassigned samples only.
 
     ``order``/``n_changed`` come from ``stable_partition(assign_new !=
-    assign_old)``.  Chunks whose start lies past ``n_changed`` are skipped
-    with ``lax.cond`` (no gather, no matmul).  Rows past the boundary inside
-    the last active chunk contribute exactly zero (new == old == k).
+    assign_old)``.  Below ``DELTA_DENSE_FRACTION`` of moved rows the moved
+    set is walked compacted (a while_loop of exactly
+    ceil(n_changed / chunk) gather chunks; rows past the boundary inside
+    the last chunk contribute exactly zero, new == old == k).  Above it, a
+    dense natural-order pass over all rows is cheaper than gathering most
+    of them.
 
     Returns (d_sums (K, F) fp32, d_counts (K,) int32) — the *local* deltas;
     the caller psums across the mesh and adds to the running sums.
@@ -72,22 +81,8 @@ def delta_sums(x, assign_new, assign_old, order, n_changed, *,
     k = n_clusters
     cluster_ids = lax.broadcasted_iota(jnp.uint32, (1, k), 1)
     offs = lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)[:, 0]
-    # dynamic trip count: a lax.scan over all chunks pays ~20us of step
-    # scaffolding each even for skipped chunks; a while_loop runs exactly
-    # ceil(n_changed / chunk) iterations
-    n_active = (n_changed + chunk - 1) // chunk
 
-    def cond(carry):
-        return carry[0] < n_active
-
-    def body(carry):
-        i, d_sums, d_counts = carry
-        base = i * chunk
-        idx = lax.dynamic_slice(order, (base,), (chunk,))
-        row_ok = (base + offs) < n_changed
-        anew = jnp.where(row_ok, assign_new[idx], jnp.uint32(k))
-        aold = jnp.where(row_ok, assign_old[idx], jnp.uint32(k))
-        xb = x[idx]
+    def chunk_delta(xb, anew, aold, d_sums, d_counts):
         oh_new = (anew[:, None] == cluster_ids)
         oh_old = (aold[:, None] == cluster_ids)
         d_oh = oh_new.astype(x.dtype) - oh_old.astype(x.dtype)
@@ -97,10 +92,53 @@ def delta_sums(x, assign_new, assign_old, order, n_changed, *,
         d_counts = d_counts + (
             jnp.sum(oh_new, axis=0, dtype=jnp.int32)
             - jnp.sum(oh_old, axis=0, dtype=jnp.int32))
-        return i + 1, d_sums, d_counts
+        return d_sums, d_counts
 
-    init = _mark_varying(
-        (jnp.int32(0), jnp.zeros((k, f), jnp.float32),
-         jnp.zeros((k,), jnp.int32)), axis_name)
-    _, d_sums, d_counts = lax.while_loop(cond, body, init)
-    return d_sums, d_counts
+    zeros = (jnp.zeros((k, f), jnp.float32), jnp.zeros((k,), jnp.int32))
+
+    def compacted(order, n_changed):
+        # dynamic trip count: a lax.scan over all chunks pays ~20us of
+        # step scaffolding each even for skipped chunks; a while_loop runs
+        # exactly ceil(n_changed / chunk) iterations
+        n_active = (n_changed + chunk - 1) // chunk
+
+        def cond(carry):
+            return carry[0] < n_active
+
+        def body(carry):
+            i, d_sums, d_counts = carry
+            base = i * chunk
+            idx = lax.dynamic_slice(order, (base,), (chunk,))
+            row_ok = (base + offs) < n_changed
+            anew = jnp.where(row_ok, assign_new[idx], jnp.uint32(k))
+            aold = jnp.where(row_ok, assign_old[idx], jnp.uint32(k))
+            d_sums, d_counts = chunk_delta(
+                x[idx], anew, aold, carry[1], carry[2])
+            return i + 1, d_sums, d_counts
+
+        init = _mark_varying((jnp.int32(0),) + zeros, axis_name)
+        _, d_sums, d_counts = lax.while_loop(cond, body, init)
+        return d_sums, d_counts
+
+    def dense(order, n_changed):
+        # high churn: one natural-order pass over ALL rows beats gathering
+        # most of them (unchanged rows have a zero one-hot diff and add
+        # exact zeros).  The compacted/dense decision is a pure function
+        # of the local n_changed, so any two runs over the same data make
+        # the same choices and accumulate bitwise-identically.
+        def body(carry, inp):
+            xb, anew, aold = inp
+            return chunk_delta(xb, anew, aold, *carry), None
+
+        init = _mark_varying(zeros, axis_name)
+        nchunks = n // chunk
+        (d_sums, d_counts), _ = lax.scan(
+            body, init,
+            (x.reshape(nchunks, chunk, f),
+             assign_new.reshape(nchunks, chunk),
+             assign_old.reshape(nchunks, chunk)))
+        return d_sums, d_counts
+
+    return lax.cond(
+        n_changed.astype(jnp.float32) > DELTA_DENSE_FRACTION * n,
+        dense, compacted, order, n_changed)
