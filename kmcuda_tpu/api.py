@@ -107,15 +107,21 @@ def _export(arr, like, dtype=None):
 def kmeans_tpu(samples, clusters, tolerance=0.01, init="k-means++",
                yinyang_t=config.DEFAULT_YINYANG_T, metric="L2",
                average_distance=False, seed=None, device=0, verbosity=0,
-               max_iterations=None):
-    """K-means clustering on TPU.  See module docstring for the contract."""
+               max_iterations=None, donate_samples=False):
+    """K-means clustering on TPU.  See module docstring for the contract.
+
+    donate_samples=True lets the library reuse a device-resident
+    ``samples`` buffer for its cleaned working copy (the caller's array is
+    consumed) — required to cluster data sets near the HBM size of the
+    chip.  Ignored for host (numpy) inputs."""
     n, features, k = V.check_kmeans_args(
         samples, clusters, tolerance, yinyang_t, seed, device)
     metric_e = _parse_metric(metric)
     init_e, afkmc2_m, imported = _parse_init(init)
     logger = Logger(verbosity)
     topo = Topology.from_device_mask(int(device), logger)
-    problem = prepare(samples, k, metric_e, topo, logger)
+    problem = prepare(samples, k, metric_e, topo, logger,
+                      donate=bool(donate_samples))
     if metric_e == DistanceMetric.COSINE:
         _check_cosine(problem)
     if problem.n_valid < k:
@@ -160,7 +166,7 @@ def kmeans_tpu(samples, clusters, tolerance=0.01, init="k-means++",
 
 
 def knn_tpu(k, samples, centroids, assignments, metric="L2", device=0,
-            verbosity=0):
+            verbosity=0, donate_samples=False):
     """Exact k-nearest-neighbors of every sample, using the k-means
     structure for pruning.  Returns (n, k) neighbor indices sorted by
     ascending distance, excluding the sample itself."""
@@ -169,7 +175,8 @@ def knn_tpu(k, samples, centroids, assignments, metric="L2", device=0,
     metric_e = _parse_metric(metric)
     logger = Logger(verbosity)
     topo = Topology.from_device_mask(int(device), logger)
-    problem = prepare(samples, n_clusters, metric_e, topo, logger)
+    problem = prepare(samples, n_clusters, metric_e, topo, logger,
+                      donate=bool(donate_samples))
     if metric_e == DistanceMetric.COSINE:
         _check_cosine(problem)
     import jax.numpy as jnp

@@ -99,6 +99,12 @@ USE_PALLAS_ASSIGN = "auto"
 #: either way; this only trades wall time.
 YY_DENSE_FRACTION = 0.4
 
+#: Above this many bytes of (n, G) fp32 lower bounds, Yinyang stores them
+#: in bfloat16 (rounded down, so the filter stays sound — see
+#: ops.yinyang.lower_cast).  Halving the dominant state array is what lets
+#: near-HBM-sized data sets run Yinyang on a single chip.
+YY_BOUNDS_F32_MAX_BYTES = 1 << 30
+
 #: Yinyang filter triage knob (0 = normal; 1 = treat every sample as a
 #: global-filter candidate; 2 = also skip the tightened re-test).  Only for
 #: debugging filter soundness.

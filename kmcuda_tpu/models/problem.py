@@ -48,8 +48,7 @@ class Problem:
     n_valid: int          # number of valid (finite, non-pad) rows
 
 
-@functools.partial(jax.jit, static_argnames=("n", "k", "dtype"))
-def _clean(x_pad, *, n, k, dtype):
+def _clean_impl(x_pad, *, n, k, dtype):
     """valid-mask, zero-fill invalid rows, squared norms, and the fresh
     'never assigned' vector (id == k, the invalid marker NaN samples keep
     forever, kmeans.cu:276-284) — one fused pass, one dispatch."""
@@ -61,6 +60,15 @@ def _clean(x_pad, *, n, k, dtype):
     x_sq = jnp.sum(xf * xf, axis=1)
     assign0 = jnp.full((x_pad.shape[0],), k, jnp.uint32)
     return x_clean, x_sq, valid, assign0, jnp.sum(valid, dtype=jnp.int32)
+
+
+_clean = jax.jit(_clean_impl, static_argnames=("n", "k", "dtype"))
+#: donating variant: when the padded input is a throwaway (we made it, or
+#: the caller opted in with donate_samples), XLA reuses its buffer for the
+#: cleaned copy — at 8 GB-scale inputs this halves peak HBM and decides
+#: whether a data set fits one chip at all
+_clean_donate = jax.jit(_clean_impl, static_argnames=("n", "k", "dtype"),
+                        donate_argnums=(0,))
 
 
 def storage_dtype_for(samples_dtype) -> object:
@@ -78,8 +86,14 @@ def storage_dtype_for(samples_dtype) -> object:
 
 
 def prepare(samples, k: int, metric: DistanceMetric, topo: Topology,
-            logger, chunk: int | None = None) -> Problem:
-    """Pad, shard, and clean the sample matrix."""
+            logger, chunk: int | None = None, donate: bool = False) -> Problem:
+    """Pad, shard, and clean the sample matrix.
+
+    donate=True permits reuse of a device-resident ``samples`` buffer for
+    the cleaned copy (the caller's array is invalidated) — the way to fit
+    near-HBM-sized data sets on one chip.  Host (numpy) inputs always
+    donate their device staging copy.
+    """
     n, features = samples.shape
     dtype = storage_dtype_for(samples.dtype)
     if chunk is None:
@@ -87,7 +101,11 @@ def prepare(samples, k: int, metric: DistanceMetric, topo: Topology,
     n_pad = topo.pad_to(n, chunk)
 
     if isinstance(samples, jax.Array):
-        x_pad = jnp.pad(samples, ((0, n_pad - n), (0, 0)))
+        if n_pad != n:
+            x_pad = jnp.pad(samples, ((0, n_pad - n), (0, 0)))
+            donate = True  # the pad copy is ours to consume
+        else:
+            x_pad = samples
     else:
         arr = np.ascontiguousarray(samples)
         if n_pad != n:
@@ -95,9 +113,11 @@ def prepare(samples, k: int, metric: DistanceMetric, topo: Topology,
             x_pad[:n] = arr
         else:
             x_pad = arr
+        donate = True  # the device staging copy is ours to consume
     x_pad = jax.device_put(x_pad, topo.sharded(2))
 
-    x, x_sq, valid, assign0, n_valid = _clean(x_pad, n=n, k=k, dtype=dtype)
+    clean = _clean_donate if donate else _clean
+    x, x_sq, valid, assign0, n_valid = clean(x_pad, n=n, k=k, dtype=dtype)
     n_valid = int(n_valid)
     logger.debug("prepared problem: n=%d (pad %d, chunk %d), features=%d, "
                  "k=%d, dtype=%s, devices=%d, valid=%d"

@@ -35,11 +35,11 @@ from kmcuda_tpu.utils.logging import Logger
 
 @functools.lru_cache(maxsize=32)
 def _build_yy_run(mesh, n_clusters, groups, group_cap, metric, chunk,
-                  debug_mode=0):
+                  debug_mode=0, bounds_dtype=jnp.float32):
     fn = functools.partial(
         YY.yy_run, n_clusters=n_clusters, groups=groups,
         group_cap=group_cap, metric=metric, chunk=chunk, axis_name=AXIS,
-        debug_mode=debug_mode)
+        debug_mode=debug_mode, bounds_dtype=bounds_dtype)
     mapped = jax.shard_map(
         fn, mesh=mesh,
         in_specs=(P(AXIS, None), P(AXIS), P(AXIS), P(AXIS), P(None, None),
@@ -162,8 +162,18 @@ def run(problem, centroids, assignments, tolerance, groups,
     p.logger.debug("yinyang: group capacity %d (padding %.0f%%)"
                    % (cap, 100.0 * (groups * cap - p.k) / p.k))
 
+    # bound-array budget: (n, G) fp32 is the dominant Yinyang state; above
+    # the budget store it bf16 (sound: lower bounds round down — see
+    # ops.yinyang.lower_cast), which is what lets near-HBM-sized data sets
+    # run Yinyang on a single chip at all
+    bounds_dtype = jnp.float32
+    if p.n_pad * groups * 4 > config.YY_BOUNDS_F32_MAX_BYTES:
+        bounds_dtype = jnp.bfloat16
+        p.logger.debug("yinyang: bf16 lower-bound storage (%d MB)"
+                       % (p.n_pad * groups * 2 // 2**20))
     run_fn = _build_yy_run(p.topo.mesh, p.k, groups, cap, p.metric,
-                           p.chunk, debug_mode=config.YY_DEBUG_MODE)
+                           p.chunk, debug_mode=config.YY_DEBUG_MODE,
+                           bounds_dtype=bounds_dtype)
     tol_count = jnp.int32(int(tolerance * p.n))
     c_fin, assign, it, log_ch, log_pa, log_ca, _u_fin, _l_fin = run_fn(
         p.x, p.x_sq, p.valid, assignments, centroids, sums, counts,

@@ -78,12 +78,12 @@ def exact_drift(c_new, c_old, metric):
 @functools.partial(
     jax.jit,
     static_argnames=("n_clusters", "groups", "group_cap", "metric", "chunk",
-                     "axis_name", "debug_mode"))
+                     "axis_name", "debug_mode", "bounds_dtype"))
 def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
            pad_src, pad_pen, group_of, tol_count, max_iterations, *,
            n_clusters: int, groups: int, group_cap: int,
            metric: D.DistanceMetric, chunk: int, axis_name=None,
-           debug_mode: int = 0):
+           debug_mode: int = 0, bounds_dtype=jnp.float32):
     """Run the Yinyang main loop on device.
 
     pad_src:  (G, P) int32 — centroid id per padded group slot (0 for pads).
@@ -118,6 +118,17 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
     vc = valid.reshape(ncheap, cheap_chunk)
     offs = lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)[:, 0]
     n_valid_local = jnp.sum(valid, dtype=jnp.int32)
+
+    def lower_cast(v):
+        """Store a lower bound in ``bounds_dtype``.  The (n, G) l array is
+        the dominant Yinyang state (3 GB at n=8M, G=102 in fp32 — it
+        decides whether a near-HBM-sized run fits one chip); bf16 storage
+        halves it.  Rounding must never raise a lower bound, so shift down
+        by one bf16 ulp before the round-to-nearest cast; the filter gets
+        ~2^-9 relatively looser per refresh, never unsound."""
+        if bounds_dtype == jnp.float32:
+            return v
+        return (v - jnp.abs(v) * jnp.float32(2.0 ** -8)).astype(bounds_dtype)
 
     def cond(carry):
         it, changed = carry[5], carry[6]
@@ -184,8 +195,9 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
             u2 = (ub + jnp.dot(oh, drift_safe,
                                preferred_element_type=jnp.float32)
                   ) * (1.0 + 1e-7)
-            l2 = (lb - gdrift[None, :]) * (1.0 - 1e-7)
-            lmin = jnp.min(l2, axis=1)
+            l2f = (lb.astype(jnp.float32) - gdrift[None, :]) * (1.0 - 1e-7)
+            lmin = jnp.min(l2f, axis=1)
+            l2 = lower_cast(l2f)
             # '>=', not '>': a knife-edge tie must reach the local filter
             # so its score-space argmin matches Lloyd's exactly
             cand = vb & (first | (u2 >= lmin))
@@ -254,7 +266,7 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
             # differently than the natural-layout one the assignments
             # (and u) come from; a lower bound must never exceed truth
             l_new = l_new - eps * (1.0 + l_new)
-            return aid, u_new, l_new
+            return aid, u_new, lower_cast(l_new)
 
         def sparse_iter(assign, u2, l2, cand):
             """Compacted path: tighten u over the candidates, then run the
@@ -404,7 +416,7 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
 
     assign0, u0, l0 = _mark_varying(
         (assign0, jnp.zeros((nl,), jnp.float32),
-         jnp.zeros((nl, g), jnp.float32)), axis_name)
+         jnp.zeros((nl, g), bounds_dtype)), axis_name)
     init = (centroids0, assign0, u0, l0, (sums0, counts0),
             jnp.int32(0), jnp.int32(jnp.iinfo(jnp.int32).max),
             jnp.zeros((LOG_CAPACITY,), jnp.int32),
