@@ -84,8 +84,8 @@ def _group_centroids(problem, centroids, groups, key):
     """Recursive k-means over the centroids (kmeans.cu:1061-1094), then
     capacity balancing for the padded group layout.
 
-    Returns (group_of (k,) int32 np, pad_src (G,P) int32 np,
-    pad_pen (G,P) f32 np, P)."""
+    Returns (group_of (k,) int32 np, flat_slot (k+1,) int32 np,
+    pad_src (G,P) int32 np, pad_pen (G,P) f32 np, P)."""
     p = problem
     k = p.k
     kp = -(-k // 256) * 256  # stable jit shapes across close k
@@ -131,11 +131,17 @@ def _group_centroids(problem, centroids, groups, key):
 
     pad_src = np.zeros((groups, cap), dtype=np.int32)
     pad_pen = np.full((groups, cap), config.PAD_PENALTY, dtype=np.float32)
+    # flat panel slot of each centroid (g * cap + j), for the own-slot
+    # exclusion in the local filter; the k-th entry (invalid marker) is
+    # never read for a row whose bounds matter
+    flat_slot = np.zeros((k + 1,), dtype=np.int32)
     for g in range(groups):
         ms = sorted(members[g])
         pad_src[g, :len(ms)] = ms
         pad_pen[g, :len(ms)] = 0.0
-    return group_of.astype(np.int32), pad_src, pad_pen, cap
+        for j, c in enumerate(ms):
+            flat_slot[c] = g * cap + j
+    return group_of.astype(np.int32), flat_slot, pad_src, pad_pen, cap
 
 
 def run(problem, centroids, assignments, tolerance, groups,
@@ -157,7 +163,7 @@ def run(problem, centroids, assignments, tolerance, groups,
 
     if key is None:
         key = jax.random.key(0)
-    group_of, pad_src, pad_pen, cap = _group_centroids(
+    _gof, flat_slot, pad_src, pad_pen, cap = _group_centroids(
         p, centroids, groups, jax.random.fold_in(key, 0x77))
     p.logger.debug("yinyang: group capacity %d (padding %.0f%%)"
                    % (cap, 100.0 * (groups * cap - p.k) / p.k))
@@ -179,7 +185,7 @@ def run(problem, centroids, assignments, tolerance, groups,
         p.x, p.x_sq, p.valid, assignments, centroids, sums, counts,
         p.topo.put_replicated(jnp.asarray(pad_src)),
         p.topo.put_replicated(jnp.asarray(pad_pen)),
-        p.topo.put_replicated(jnp.asarray(group_of)),
+        p.topo.put_replicated(jnp.asarray(flat_slot)),
         tol_count, jnp.int32(min(max_iterations,
                                  config.DEFAULT_MAX_ITERATIONS)))
     it, log_ch, log_pa, log_ca = jax.device_get(

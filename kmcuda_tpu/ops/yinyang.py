@@ -80,15 +80,17 @@ def exact_drift(c_new, c_old, metric):
     static_argnames=("n_clusters", "groups", "group_cap", "metric", "chunk",
                      "axis_name", "debug_mode", "bounds_dtype"))
 def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
-           pad_src, pad_pen, group_of, tol_count, max_iterations, *,
+           pad_src, pad_pen, flat_slot, tol_count, max_iterations, *,
            n_clusters: int, groups: int, group_cap: int,
            metric: D.DistanceMetric, chunk: int, axis_name=None,
            debug_mode: int = 0, bounds_dtype=jnp.float32):
     """Run the Yinyang main loop on device.
 
-    pad_src:  (G, P) int32 — centroid id per padded group slot (0 for pads).
-    pad_pen:  (G, P) fp32 — 0 for real slots, +PAD_PENALTY for pads.
-    group_of: (K,) int32 — group of each centroid (== G for NaN centroids).
+    pad_src:   (G, P) int32 — centroid id per padded group slot (0 for pads).
+    pad_pen:   (G, P) fp32 — 0 for real slots, +PAD_PENALTY for pads.
+    flat_slot: (K+1,) int32 — flat panel slot (g * P + j) of each centroid;
+               entry K (the invalid marker) may be any slot, it is never
+               read for a row whose bounds matter.
 
     Returns (centroids_used, assign, iterations, changed_log, passed_log,
     cand_log).
@@ -98,13 +100,12 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
     sums0 = sums0.astype(jnp.float32)
     nl, f = x.shape
     nchunks = nl // chunk
-    iota_g = lax.broadcasted_iota(jnp.int32, (1, g), 1)
-    iota_p = lax.broadcasted_iota(jnp.int32, (1, p), 1)
+    iota_gp = lax.broadcasted_iota(jnp.int32, (1, g * p), 1)
     iota_k1 = lax.broadcasted_iota(jnp.uint32, (1, k + 1), 1)
     pad_src_flat = pad_src.reshape(-1)
     pad_pen_flat = pad_pen.reshape(-1)
-    group_of_ext = jnp.concatenate(
-        [group_of, jnp.full((1,), g, jnp.int32)]).astype(jnp.float32)
+    # flat slot ids < G*P <= 2^24, exact in fp32 for the one-hot matvec
+    flat_slot_f = flat_slot.astype(jnp.float32)
 
     # the bounds pass touches every sample anyway; wider chunks amortize
     # the per-scan-step scaffolding
@@ -187,8 +188,7 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
         # valid upper bound
         drift_safe = (drift_ext * (1.0 + 2.0 ** -7)).astype(jnp.bfloat16)
 
-        def cheap(_, inp):
-            vb, ab, ub, lb = inp
+        def drift_bounds(vb, ab, ub, lb):
             oh = (ab[:, None] == iota_k1).astype(jnp.bfloat16)
             # (1 +- 1e-7) factors absorb the addition rounding so u stays
             # an upper and l a lower bound across many accumulations
@@ -197,25 +197,28 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
                   ) * (1.0 + 1e-7)
             l2f = (lb.astype(jnp.float32) - gdrift[None, :]) * (1.0 - 1e-7)
             lmin = jnp.min(l2f, axis=1)
-            l2 = lower_cast(l2f)
             # '>=', not '>': a knife-edge tie must reach the local filter
             # so its score-space argmin matches Lloyd's exactly
             cand = vb & (first | (u2 >= lmin))
             if debug_mode == 1:   # soundness triage: distrust the drift test
                 cand = vb
-            return None, (u2, l2, lmin, cand)
+            return u2, l2f, lmin, cand
 
-        _, (u2, l2, lmin_all, cand) = lax.scan(
-            cheap, None,
+        # counting pass only: nothing materialized.  The drifted bounds
+        # are recomputed and stored by the branch that needs them (sparse)
+        # — the dense branch refreshes every bound from scratch and never
+        # reads the old l at all, which caps the live (n, G) arrays at two
+        # (the fit-limit for near-HBM data sets).
+        def count_body(acc, inp):
+            vb, ab, ub, lb = inp
+            _u2, _l2f, _lmin, cand = drift_bounds(vb, ab, ub, lb)
+            return acc + jnp.sum(cand, dtype=jnp.int32), None
+
+        n_cand, _ = lax.scan(
+            count_body, _mark_varying(jnp.int32(0), axis_name),
             (vc, assign.reshape(ncheap, cheap_chunk),
              u.reshape(ncheap, cheap_chunk),
              l.reshape(ncheap, cheap_chunk, g)))
-        u2 = u2.reshape(nl)
-        l2 = l2.reshape(nl, g)
-        lmin_all = lmin_all.reshape(nl)
-        cand = cand.reshape(nl)
-
-        n_cand = jnp.sum(cand, dtype=jnp.int32)
 
         def exact_assign_bounds(xb, xsqb):
             """Exact assignment + fresh (u, l) bounds for one sample block
@@ -234,33 +237,27 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
             u_new = D.finalize_distance(best_m, xsqb, metric)
             # group minima from the padded-panel matmul (same dot
             # products up to matmul rounding; the stored lower bound gets
-            # a downward margin below so an ulp can never inflate it)
+            # a downward margin below so an ulp can never inflate it).
+            # l[g] must exclude exactly the ASSIGNED centroid from its own
+            # group (kmeans_yy_init semantics, kmeans.cu:432-485): penalize
+            # the assigned centroid's own panel slot — whose flat index is
+            # precomputed host-side — and one reshape-min yields every
+            # group's bound.  The slot lookup goes through an exact
+            # one-hot matvec, NEVER a default-precision value matmul
+            # (bf16 rounding of integer ids would penalize a neighboring
+            # slot and let a legitimate competitor inflate the bound).
             sp = (jnp.dot(xb, pad_panel,
                           preferred_element_type=jnp.float32,
                           precision=D.mm_precision(x.dtype))
-                  + pad_bias[None, :]).reshape(xb.shape[0], g, p)
+                  + pad_bias[None, :])                          # (B, G*P)
             sp = jnp.where(jnp.isfinite(sp), sp, config.PAD_PENALTY)
-            m1 = jnp.min(sp, axis=2)
-            # the group whose bound must exclude one centroid is the
-            # group of the ASSIGNED centroid (kmeans_yy_init semantics,
-            # kmeans.cu:432-485) — NOT argmin(m1): panel rounding can put
-            # the argmin in another group, whose bound would then wrongly
-            # exclude a legitimate competitor
             oha = (aid[:, None] == iota_k1).astype(jnp.float32)
-            g_star = (oha @ group_of_ext).astype(jnp.int32)      # (B,)
-            ohg = (iota_g == g_star[:, None])                    # (B, G)
-            spw = jnp.einsum("bg,bgp->bp", ohg.astype(jnp.float32), sp,
-                             precision=lax.Precision.HIGHEST)
-            # exact own-slot mask via boolean broadcast — NEVER via a
-            # value matmul: default-precision matmuls round integer ids
-            # through bf16 (815 and 817 both become 816), which would
-            # exclude innocent competitors from the bound
-            own_slot = jnp.any(
-                (pad_src[None, :, :] == aid[:, None, None].astype(jnp.int32))
-                & ohg[:, :, None], axis=1)                       # (B, P)
-            m2w = jnp.min(
-                jnp.where(own_slot, config.PAD_PENALTY, spw), axis=1)
-            l_sc = jnp.where(ohg, m2w[:, None], m1)
+            own_flat = jnp.dot(oha, flat_slot_f,
+                               precision=lax.Precision.HIGHEST
+                               ).astype(jnp.int32)               # (B,)
+            sp = jnp.where(iota_gp == own_flat[:, None],
+                           config.PAD_PENALTY, sp)
+            l_sc = jnp.min(sp.reshape(xb.shape[0], g, p), axis=2)
             l_new = D.finalize_distance(l_sc, xsqb[:, None], metric)
             # downward safety margin: the padded-panel matmul rounds
             # differently than the natural-layout one the assignments
@@ -268,11 +265,28 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
             l_new = l_new - eps * (1.0 + l_new)
             return aid, u_new, lower_cast(l_new)
 
-        def sparse_iter(assign, u2, l2, cand):
+        def sparse_iter(assign, u, l):
             """Compacted path: tighten u over the candidates, then run the
             local filter only over the samples that still pass.  Gathers /
             scatters cost O(candidates), worth it only when the global
             filter actually filters."""
+            # materialize the drifted bounds (the counting pass discarded
+            # them): one more streaming read of (u, l, assign)
+            def cheap(_, inp):
+                vb, ab, ub, lb = inp
+                u2, l2f, lmin, cand = drift_bounds(vb, ab, ub, lb)
+                return None, (u2, lower_cast(l2f), lmin, cand)
+
+            _, (u2, l2, lmin_all, cand) = lax.scan(
+                cheap, None,
+                (vc, assign.reshape(ncheap, cheap_chunk),
+                 u.reshape(ncheap, cheap_chunk),
+                 l.reshape(ncheap, cheap_chunk, g)))
+            u2 = u2.reshape(nl)
+            l2 = l2.reshape(nl, g)
+            lmin_all = lmin_all.reshape(nl)
+            cand = cand.reshape(nl)
+
             # ---- phase 2a: tighten u over the compacted candidates ------
             # (the reference's global-filter tightening, kmeans.cu:541-582):
             # per-candidate F work only, no k-matmul.  Results are written
@@ -352,7 +366,7 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
             (_i2, assign2, u4, l4) = lax.while_loop(lcond, lbody, linit)
             return assign2, u4, l4, passed_n
 
-        def dense_iter(assign, u2, l2, cand):
+        def dense_iter(assign, u, l):
             """Dense path: when the global filter passes (almost)
             everything, one natural-order pass over ALL samples is
             strictly cheaper than compaction — no gathers, no scatters,
@@ -362,14 +376,17 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
             kmeans.cu:1117-1158).  Per-row results are bitwise identical
             to the compacted path (matmul elements are row-independent),
             so which path an iteration takes never changes the output,
-            only the wall time."""
+            only the wall time.  The old l is never read (every valid
+            row's bound is refreshed; invalid rows get the deterministic
+            bound of their zeroed row, which nothing ever reads), so only
+            two (n, G) arrays are ever live."""
             def dbody(_, inp):
-                xb, xsqb, vb, ab, ub, lb = inp
+                xb, xsqb, vb, ab, ub = inp
                 aid, u_new, l_new = exact_assign_bounds(xb, xsqb)
                 aid = jnp.where(vb, aid, jnp.uint32(k))
                 return None, (jnp.where(vb, aid, ab),
                               jnp.where(vb, u_new, ub),
-                              jnp.where(vb[:, None], l_new, lb))
+                              l_new)
 
             _, (a2, u4, l4) = lax.scan(
                 dbody, None,
@@ -377,8 +394,7 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
                  x_sq.reshape(nchunks, chunk),
                  valid.reshape(nchunks, chunk),
                  assign.reshape(nchunks, chunk),
-                 u2.reshape(nchunks, chunk),
-                 l2.reshape(nchunks, chunk, g)))
+                 u.reshape(nchunks, chunk)))
             return (a2.reshape(nl), u4.reshape(nl), l4.reshape(nl, g),
                     n_valid_local)
 
@@ -394,7 +410,7 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
         if debug_mode != 0:  # triage modes must exercise the sparse path
             use_dense = jnp.bool_(False)
         assign2, u4, l4, passed_n = lax.cond(
-            use_dense, dense_iter, sparse_iter, assign, u2, l2, cand)
+            use_dense, dense_iter, sparse_iter, assign, u, l)
 
         # ---- phase 3: incremental centroid update from the moved set ----
         morder, n_moved = C.stable_partition(assign2 != assign)

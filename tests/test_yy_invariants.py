@@ -84,13 +84,13 @@ def test_bound_invariants(tight):
     c0 = I.init_centroids(p, I.InitMethod.RANDOM, key)
     c_d, a_d, sums_d, counts_d, _it, _ch = L.run_incremental(
         p, c0, L.new_assignments(p), 0.11)
-    group_of, pad_src, pad_pen, cap = _group_centroids(
+    group_of, flat_slot, pad_src, pad_pen, cap = _group_centroids(
         p, c_d, groups, jax.random.fold_in(key, 0x77))
     runy = _build_yy_run(p.topo.mesh, k, groups, cap, p.metric, p.chunk)
     out = runy(p.x, p.x_sq, p.valid, a_d, c_d, sums_d, counts_d,
                p.topo.put_replicated(jnp.asarray(pad_src)),
                p.topo.put_replicated(jnp.asarray(pad_pen)),
-               p.topo.put_replicated(jnp.asarray(group_of)),
+               p.topo.put_replicated(jnp.asarray(flat_slot)),
                jnp.int32(-1), jnp.int32(6))
     c_fin, assign, _it2, _lch, _lpa, _lca, u_fin, l_fin = out
     c_fin = np.asarray(c_fin).astype(np.float64)
