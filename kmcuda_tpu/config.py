@@ -99,6 +99,16 @@ USE_PALLAS_ASSIGN = "auto"
 #: either way; this only trades wall time.
 YY_DENSE_FRACTION = 0.4
 
+#: Dense-path bounds-refresh backoff cap: while consecutive refreshes fail
+#: to engage the global filter (the next iteration is dense again), the
+#: number of plain-Lloyd dense iterations between refreshes doubles up to
+#: this many; one sparse (filter-engaged) iteration resets the period to 1.
+#: Bounds never affect the argmin, so this trades only wall time: on
+#: filter-hostile data the steady-state dense iteration costs one Lloyd
+#: pass + ~1/8 of a group-panel matmul instead of the full panel matmul
+#: every iteration.
+YY_REFRESH_BACKOFF_MAX = 8
+
 #: Above this many bytes of (n, G) fp32 lower bounds, Yinyang stores them
 #: in bfloat16 (rounded down, so the filter stays sound — see
 #: ops.yinyang.lower_cast).  Halving the dominant state array is what lets

@@ -23,6 +23,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 from jax.sharding import PartitionSpec as P
 
 from kmcuda_tpu import config
@@ -61,7 +62,11 @@ def _group_kmeans(c_in, key, tol_count, *, groups, metric, chunk):
 
     c_in: (kp, F) fp32, NaN rows = dead centroids.
     Returns (g_assign (kp,) uint32 — ``groups`` for dead rows,
-    dists (kp, groups) f32)."""
+    prefs (kp, <=8) int32 — nearest group ids, ascending distance).  Only
+    the top-8 preferences leave the device: the full (kp, groups) distance
+    matrix readback dominated the grouping phase's wall time over a slow
+    host link, and overflow rehoming virtually never looks past the first
+    few choices."""
     from kmcuda_tpu.models import initialization as I
     from kmcuda_tpu.ops import assign as A
 
@@ -77,7 +82,9 @@ def _group_kmeans(c_in, key, tol_count, *, groups, metric, chunk):
         jnp.int32(config.DEFAULT_MAX_ITERATIONS), n_clusters=groups,
         metric=metric, chunk=chunk, axis_name=None)
     dists = D.pairwise_distance(x, g_cent, metric)
-    return g_assign, dists
+    dists = jnp.where(jnp.isfinite(dists), dists, jnp.inf)
+    _nd, prefs = lax.top_k(-dists, min(8, groups))
+    return g_assign, prefs.astype(jnp.int32)
 
 
 def _group_centroids(problem, centroids, groups, key):
@@ -94,17 +101,22 @@ def _group_centroids(problem, centroids, groups, key):
     chunk = kp
     while chunk > 2048 and chunk % 2 == 0:
         chunk //= 2
-    g_assign, dists = _group_kmeans(
+    g_assign, prefs = _group_kmeans(
         c_pad, key, jnp.int32(int(config.YINYANG_GROUP_TOLERANCE * k)),
         groups=groups, metric=p.metric, chunk=chunk)
-    # ONE host readback for the whole grouping phase
-    g_assign, dists = jax.device_get((g_assign, dists))
+    # ONE small host readback for the whole grouping phase
+    g_assign, prefs = jax.device_get((g_assign, prefs))
     group_of = np.asarray(g_assign)[:k].astype(np.int64)
     # NaN centroids got the invalid marker == groups; they stay groupless.
-    dists = np.nan_to_num(np.asarray(dists)[:k], nan=np.inf, posinf=np.inf)
+    prefs = np.asarray(prefs)[:k]
 
-    cap = max(2, int(np.ceil(1.3 * k / groups)))
-    cap = int(-(-cap // 4) * 4)  # stabilize jit cache across runs
+    # capacity slack trades panel padding (the group-minima matmul costs
+    # G*cap/k of a Lloyd matmul) against how many overflow centroids get
+    # rehomed to their second-closest group (slightly looser bounds);
+    # measured at k=1024/G=102, 1.3 + round-to-4 gave 59% padding vs 17%
+    # for 1.15 + round-to-2 with no observable filter degradation
+    cap = max(2, int(np.ceil(1.15 * k / groups)))
+    cap = int(-(-cap // 2) * 2)  # stabilize jit cache across runs
     sizes = np.zeros(groups, dtype=np.int64)
     members: list[list[int]] = [[] for _ in range(groups)]
     # first pass: keep everyone whose group has room (ascending index for
@@ -120,14 +132,19 @@ def _group_centroids(problem, centroids, groups, key):
         else:
             overflow.append(c)
     for c in overflow:
-        for g in np.argsort(dists[c]):
+        for g in prefs[c]:
             if sizes[g] < cap:
                 members[g].append(c)
                 sizes[g] += 1
                 group_of[c] = g
                 break
-        else:  # cannot happen: total capacity 1.3k >= k
-            raise AssertionError("group capacity exhausted")
+        else:
+            # every preferred group full (rare): any group with room —
+            # grouping only affects speed, never results
+            g = int(np.argmin(sizes))
+            members[g].append(c)
+            sizes[g] += 1
+            group_of[c] = g
 
     pad_src = np.zeros((groups, cap), dtype=np.int32)
     pad_pen = np.full((groups, cap), config.PAD_PENALTY, dtype=np.float32)

@@ -29,10 +29,22 @@ TPU-native design decisions:
 
 - The local filter's score matmul uses the SAME centroid column layout as
   the Lloyd pass — groups are NOT materialized as a permuted centroid
-  matrix.  Group minima come from a cheap lane-gather of the score row into
-  a capacity-balanced padded (G, P) layout.  Identical matmuls mean
-  bitwise-identical assignments between Lloyd and Yinyang by construction
-  (the reference's parity guarantee, README.md:74-75).
+  matrix (XLA gemms reassociate the contraction differently per output
+  width, so a permuted layout would break the bitwise Lloyd==Yinyang
+  parity guarantee, README.md:74-75).  Group minima come from a second,
+  smaller matmul against a capacity-balanced padded (G, P) centroid panel.
+- On filter-hostile data (high-dimensional/uniform: concentration of
+  measure keeps u ~ l for every sample) the dense path *adaptively stops
+  refreshing the lower bounds*: u refreshes come free with the assignment
+  matmul, l goes vacuous (zeros — a sound lower bound), and the panel
+  matmul runs only on an exponential-backoff schedule (period doubles up
+  to ``config.YY_REFRESH_BACKOFF_MAX`` while each refresh fails to engage
+  the filter, resets when one succeeds).  Worst-case overhead over plain
+  Lloyd drops from the panel matmul every iteration (~1.3x) to ~1/period
+  of it, while still detecting when converging drifts finally make the
+  filter bite.  Bounds only affect which samples are *proven* unmoved —
+  never the argmin itself — so the refresh schedule cannot change
+  results, only wall time.
 - Compaction is a cumsum stable partition (no atomics — the analog of the
   reference's ``d_passed_number`` scatter); the candidate loop is a
   ``lax.while_loop`` with trip count ceil(candidates / chunk), so skipped
@@ -138,7 +150,7 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
 
     def body(carry):
         (c_cur, assign, u, l, sc, it, _changed, log_ch,
-         log_pa, log_ca) = carry
+         log_pa, log_ca, (refresh_in, period)) = carry
         sums, counts = sc
         first = it == 0
         c_new = D.normalize_centroids(
@@ -220,11 +232,25 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
              u.reshape(ncheap, cheap_chunk),
              l.reshape(ncheap, cheap_chunk, g)))
 
-        def exact_assign_bounds(xb, xsqb):
+        def exact_assign_bounds(xb, xsqb, with_l=True):
             """Exact assignment + fresh (u, l) bounds for one sample block
             — the local-filter math (kmeans_yy_local_filter,
             kmeans.cu:585-672), shared by the compacted and dense paths
-            so both produce bitwise-identical values per row."""
+            so both produce bitwise-identical values per row.
+
+            The assignment (and u) ALWAYS comes from the same
+            natural-column-layout score matmul as the Lloyd pass — that is
+            the Lloyd==Yinyang parity guarantee (README.md:74-75).  A
+            permuted/padded layout cannot substitute: XLA's gemm
+            reassociates the f-contraction differently for different
+            output widths, so per-element scores are NOT bitwise stable
+            across layouts (measured on the CPU backend).
+
+            ``with_l=False`` skips the group-minima panel matmul and
+            returns vacuous zero lower bounds (sound: l only ever
+            *under*-estimates competitor distances).  The adaptive dense
+            path uses it to drop to plain-Lloyd cost on filter-hostile
+            data."""
             s = D.scores(xb, c_t, c_sq_pad, penalty, metric)
             best, aid = D.argmin_lowest_index(s, orig_ids, k)
             # the stored upper bound gets an upward margin: the raw score
@@ -235,6 +261,9 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
             else:
                 best_m = best + eps
             u_new = D.finalize_distance(best_m, xsqb, metric)
+            if not with_l:
+                return aid, u_new, _mark_varying(
+                    jnp.zeros((xb.shape[0], g), bounds_dtype), axis_name)
             # group minima from the padded-panel matmul (same dot
             # products up to matmul rounding; the stored lower bound gets
             # a downward margin below so an ulp can never inflate it).
@@ -265,7 +294,7 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
             l_new = l_new - eps * (1.0 + l_new)
             return aid, u_new, lower_cast(l_new)
 
-        def sparse_iter(assign, u, l):
+        def sparse_iter(assign, u, l, _do_refresh):
             """Compacted path: tighten u over the candidates, then run the
             local filter only over the samples that still pass.  Gathers /
             scatters cost O(candidates), worth it only when the global
@@ -366,37 +395,48 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
             (_i2, assign2, u4, l4) = lax.while_loop(lcond, lbody, linit)
             return assign2, u4, l4, passed_n
 
-        def dense_iter(assign, u, l):
+        def dense_iter(assign, u, l, do_refresh):
             """Dense path: when the global filter passes (almost)
             everything, one natural-order pass over ALL samples is
             strictly cheaper than compaction — no gathers, no scatters,
-            no tighten pass — and refreshes every sample's bounds
-            exactly: the TPU form of the reference's bounds refresh
-            (kmeans_yy_init re-run, YINYANG_REFRESH_EPSILON,
-            kmeans.cu:1117-1158).  Per-row results are bitwise identical
-            to the compacted path (matmul elements are row-independent),
-            so which path an iteration takes never changes the output,
+            no tighten pass.  With ``do_refresh`` it also refreshes every
+            sample's bounds exactly: the TPU form of the reference's
+            bounds refresh (kmeans_yy_init re-run, YINYANG_REFRESH_EPSILON,
+            kmeans.cu:1117-1158); without it the lower bounds go vacuous
+            and the iteration costs exactly one plain Lloyd pass (the
+            backoff schedule around this is set where the dense/sparse
+            decision is made).  Per-row assignments are bitwise identical
+            to the compacted path either way (matmul elements are
+            row-independent and the argmin never reads a bound), so which
+            path — and whether it refreshes — never changes the output,
             only the wall time.  The old l is never read (every valid
-            row's bound is refreshed; invalid rows get the deterministic
-            bound of their zeroed row, which nothing ever reads), so only
-            two (n, G) arrays are ever live."""
-            def dbody(_, inp):
-                xb, xsqb, vb, ab, ub = inp
-                aid, u_new, l_new = exact_assign_bounds(xb, xsqb)
-                aid = jnp.where(vb, aid, jnp.uint32(k))
-                return None, (jnp.where(vb, aid, ab),
-                              jnp.where(vb, u_new, ub),
-                              l_new)
+            row's bound is either refreshed or zeroed), so only two
+            (n, G) arrays are ever live."""
+            def dpass(with_l):
+                def dbody(_, inp):
+                    xb, xsqb, vb, ab, ub = inp
+                    aid, u_new, l_new = exact_assign_bounds(
+                        xb, xsqb, with_l=with_l)
+                    aid = jnp.where(vb, aid, jnp.uint32(k))
+                    return None, (jnp.where(vb, aid, ab),
+                                  jnp.where(vb, u_new, ub),
+                                  l_new)
 
-            _, (a2, u4, l4) = lax.scan(
-                dbody, None,
-                (x.reshape(nchunks, chunk, f),
-                 x_sq.reshape(nchunks, chunk),
-                 valid.reshape(nchunks, chunk),
-                 assign.reshape(nchunks, chunk),
-                 u.reshape(nchunks, chunk)))
-            return (a2.reshape(nl), u4.reshape(nl), l4.reshape(nl, g),
-                    n_valid_local)
+                def run():
+                    _, (a2, u4, l4) = lax.scan(
+                        dbody, None,
+                        (x.reshape(nchunks, chunk, f),
+                         x_sq.reshape(nchunks, chunk),
+                         valid.reshape(nchunks, chunk),
+                         assign.reshape(nchunks, chunk),
+                         u.reshape(nchunks, chunk)))
+                    return (a2.reshape(nl), u4.reshape(nl),
+                            l4.reshape(nl, g))
+
+                return run
+
+            a2, u4, l4 = lax.cond(do_refresh, dpass(True), dpass(False))
+            return a2, u4, l4, n_valid_local
 
         # global (replicated) dense/compacted decision so every shard
         # compiles and takes the same branch
@@ -409,8 +449,22 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
                      > config.YY_DENSE_FRACTION * n_all.astype(jnp.float32))
         if debug_mode != 0:  # triage modes must exercise the sparse path
             use_dense = jnp.bool_(False)
+        # exponential-backoff refresh schedule for the dense path: each
+        # bound refresh that fails to engage the filter (the next
+        # iteration is dense again) doubles the number of plain-Lloyd
+        # iterations before the next try; a sparse iteration resets it
+        did_refresh = use_dense & (refresh_in <= 0)
         assign2, u4, l4, passed_n = lax.cond(
-            use_dense, dense_iter, sparse_iter, assign, u, l)
+            use_dense, dense_iter, sparse_iter, assign, u, l, did_refresh)
+        refresh_in2 = jnp.where(
+            ~use_dense, jnp.int32(0),
+            jnp.where(did_refresh, period, refresh_in - 1))
+        period2 = jnp.where(
+            ~use_dense, jnp.int32(1),
+            jnp.where(did_refresh,
+                      jnp.minimum(period * 2,
+                                  jnp.int32(config.YY_REFRESH_BACKOFF_MAX)),
+                      period))
 
         # ---- phase 3: incremental centroid update from the moved set ----
         morder, n_moved = C.stable_partition(assign2 != assign)
@@ -428,7 +482,7 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
         log_ca = log_ca.at[it].set(n_cand_all)
         return (c_new, assign2, u4, l4,
                 (sums + d_sums, counts + d_counts), it + 1, changed2,
-                log_ch, log_pa, log_ca)
+                log_ch, log_pa, log_ca, (refresh_in2, period2))
 
     assign0, u0, l0 = _mark_varying(
         (assign0, jnp.zeros((nl,), jnp.float32),
@@ -437,7 +491,8 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
             jnp.int32(0), jnp.int32(jnp.iinfo(jnp.int32).max),
             jnp.zeros((LOG_CAPACITY,), jnp.int32),
             jnp.zeros((LOG_CAPACITY,), jnp.int32),
-            jnp.zeros((LOG_CAPACITY,), jnp.int32))
+            jnp.zeros((LOG_CAPACITY,), jnp.int32),
+            (jnp.int32(0), jnp.int32(1)))
     (c_cur, assign, u_fin, l_fin, _sc, it, _changed, log_ch, log_pa,
-     log_ca) = lax.while_loop(cond, body, init)
+     log_ca, _rb) = lax.while_loop(cond, body, init)
     return c_cur, assign, it, log_ch, log_pa, log_ca, u_fin, l_fin
