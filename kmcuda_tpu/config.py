@@ -91,13 +91,15 @@ USE_PALLAS_ASSIGN = "auto"
 
 #: When more than this fraction of all samples pass the drift (global)
 #: filter, the Yinyang iteration runs DENSE: one natural-order pass over
-#: every sample (score + group-panel matmuls), refreshing all bounds —
-#: the TPU form of the reference's bounds refresh
-#: (YINYANG_REFRESH_EPSILON pass, kmeans.cu:1117-1158).  Below it, the
-#: candidates are compacted and only they are touched (gather/scatter
-#: cost proportional to the candidate count).  Results are identical
-#: either way; this only trades wall time.
-YY_DENSE_FRACTION = 0.4
+#: every sample, refreshing bounds per the backoff schedule — the TPU
+#: form of the reference's bounds refresh (YINYANG_REFRESH_EPSILON pass,
+#: kmeans.cu:1117-1158).  Below it, the candidates are compacted and only
+#: they are touched.  Results are identical either way; this only trades
+#: wall time.  The crossover sits where compaction's per-row
+#: gather/scatter cost (~5-10x a streamed row on TPU) matches the dense
+#: pass's full matmul: measured near 15-20%% candidates at f=64..256,
+#: k=1024 on v5e.
+YY_DENSE_FRACTION = 0.2
 
 #: Dense-path bounds-refresh backoff cap: while consecutive refreshes fail
 #: to engage the global filter (the next iteration is dense again), the
@@ -109,11 +111,19 @@ YY_DENSE_FRACTION = 0.4
 #: every iteration.
 YY_REFRESH_BACKOFF_MAX = 8
 
+#: A sparse-path tighten row (rowwise exact own-centroid distance) costs
+#: about a third of a local-filter row (full score + panel matmuls), so
+#: the tighten phase pays only when it prunes at least this fraction of
+#: the candidates.  Measured prune rates below it trigger the same
+#: exponential backoff as the bounds refresh.  Like every Yinyang
+#: scheduling knob, this affects wall time only, never results.
+YY_TIGHTEN_MIN_PRUNE = 0.33
+
 #: Above this many bytes of (n, G) fp32 lower bounds, Yinyang stores them
 #: in bfloat16 (rounded down, so the filter stays sound — see
 #: ops.yinyang.lower_cast).  Halving the dominant state array is what lets
 #: near-HBM-sized data sets run Yinyang on a single chip.
-YY_BOUNDS_F32_MAX_BYTES = 1 << 30
+YY_BOUNDS_F32_MAX_BYTES = 1 << 26
 
 #: Yinyang filter triage knob (0 = normal; 1 = treat every sample as a
 #: global-filter candidate; 2 = also skip the tightened re-test).  Only for

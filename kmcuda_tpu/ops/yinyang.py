@@ -129,7 +129,19 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
     cheap_chunk = chunk * cheap_mult
     ncheap = nl // cheap_chunk
     vc = valid.reshape(ncheap, cheap_chunk)
-    offs = lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)[:, 0]
+    # compacted-loop (tighten / local-filter) chunk: each while-loop step
+    # pays fixed scaffolding (gather/scatter setup, loop bookkeeping), so
+    # wider chunks cut the dominant per-step cost of a sparse iteration.
+    # Per-row results are row-independent, so the width never changes
+    # values; the compacted order arrays are padded with ``nl`` sentinels
+    # so the final partial chunk needs no divisibility (sentinel rows
+    # clamp-gather garbage that row_ok masks and mode="drop" discards).
+    schunk = max(chunk, min(16384, nl))
+    offs = lax.broadcasted_iota(jnp.int32, (schunk, 1), 0)[:, 0]
+
+    def pad_order(order):
+        return jnp.concatenate(
+            [order, jnp.full((schunk,), nl, jnp.int32)])
     n_valid_local = jnp.sum(valid, dtype=jnp.int32)
 
     def lower_cast(v):
@@ -150,7 +162,8 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
 
     def body(carry):
         (c_cur, assign, u, l, sc, it, _changed, log_ch,
-         log_pa, log_ca, (refresh_in, period)) = carry
+         log_pa, log_ca, (refresh_in, period, tskip_in, tperiod,
+                          prev_cand, refreshed_prev)) = carry
         sums, counts = sc
         first = it == 0
         c_new = D.normalize_centroids(
@@ -216,21 +229,49 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
                 cand = vb
             return u2, l2f, lmin, cand
 
-        # counting pass only: nothing materialized.  The drifted bounds
-        # are recomputed and stored by the branch that needs them (sparse)
-        # — the dense branch refreshes every bound from scratch and never
-        # reads the old l at all, which caps the live (n, G) arrays at two
-        # (the fit-limit for near-HBM data sets).
-        def count_body(acc, inp):
-            vb, ab, ub, lb = inp
-            _u2, _l2f, _lmin, cand = drift_bounds(vb, ab, ub, lb)
-            return acc + jnp.sum(cand, dtype=jnp.int32), None
+        # Each branch runs its own streaming drift pass, materializing
+        # exactly what it needs (sparse: everything; dense-preserve: l2
+        # only; dense otherwise: just the candidate count).  Keeping the
+        # big arrays branch-local lets XLA alias the (n, G) carry buffers
+        # through the iteration — shared cross-branch captures were
+        # measured to insert ~l-sized defensive copies — and caps the live
+        # (n, G) arrays at two (the fit-limit for near-HBM data sets).
+        bounds_stream = (vc, assign.reshape(ncheap, cheap_chunk),
+                         u.reshape(ncheap, cheap_chunk),
+                         l.reshape(ncheap, cheap_chunk, g))
 
-        n_cand, _ = lax.scan(
-            count_body, _mark_varying(jnp.int32(0), axis_name),
-            (vc, assign.reshape(ncheap, cheap_chunk),
-             u.reshape(ncheap, cheap_chunk),
-             l.reshape(ncheap, cheap_chunk, g)))
+        def scan_count():
+            def cbody(acc, inp):
+                _u2, _l2f, _lmin, cand = drift_bounds(*inp)
+                return acc + jnp.sum(cand, dtype=jnp.int32), None
+
+            n_cand, _ = lax.scan(
+                cbody, _mark_varying(jnp.int32(0), axis_name),
+                bounds_stream)
+            return n_cand
+
+        def scan_l2():
+            def cbody(acc, inp):
+                _u2, l2f, _lmin, cand = drift_bounds(*inp)
+                return (acc + jnp.sum(cand, dtype=jnp.int32),
+                        lower_cast(l2f))
+
+            n_cand, l2 = lax.scan(
+                cbody, _mark_varying(jnp.int32(0), axis_name),
+                bounds_stream)
+            return n_cand, l2.reshape(nl, g)
+
+        def scan_full():
+            def cbody(acc, inp):
+                u2, l2f, lmin, cand = drift_bounds(*inp)
+                return (acc + jnp.sum(cand, dtype=jnp.int32),
+                        (u2, lower_cast(l2f), lmin, cand))
+
+            n_cand, (u2, l2, lmin_all, cand) = lax.scan(
+                cbody, _mark_varying(jnp.int32(0), axis_name),
+                bounds_stream)
+            return (n_cand, u2.reshape(nl), l2.reshape(nl, g),
+                    lmin_all.reshape(nl), cand.reshape(nl))
 
         def exact_assign_bounds(xb, xsqb, with_l=True):
             """Exact assignment + fresh (u, l) bounds for one sample block
@@ -294,27 +335,21 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
             l_new = l_new - eps * (1.0 + l_new)
             return aid, u_new, lower_cast(l_new)
 
-        def sparse_iter(assign, u, l, _do_refresh):
+        def sparse_iter(assign, u, l, flags):
             """Compacted path: tighten u over the candidates, then run the
             local filter only over the samples that still pass.  Gathers /
             scatters cost O(candidates), worth it only when the global
-            filter actually filters."""
-            # materialize the drifted bounds (the counting pass discarded
-            # them): one more streaming read of (u, l, assign)
-            def cheap(_, inp):
-                vb, ab, ub, lb = inp
-                u2, l2f, lmin, cand = drift_bounds(vb, ab, ub, lb)
-                return None, (u2, lower_cast(l2f), lmin, cand)
+            filter actually filters.
 
-            _, (u2, l2, lmin_all, cand) = lax.scan(
-                cheap, None,
-                (vc, assign.reshape(ncheap, cheap_chunk),
-                 u.reshape(ncheap, cheap_chunk),
-                 l.reshape(ncheap, cheap_chunk, g)))
-            u2 = u2.reshape(nl)
-            l2 = l2.reshape(nl, g)
-            lmin_all = lmin_all.reshape(nl)
-            cand = cand.reshape(nl)
+            The tighten phase itself is adaptive (``flags[1]``): a tighten
+            row costs ~1/3 of a local-filter row, so it pays only when it
+            prunes more than ~1/3 of the candidates.  When skipped, every
+            candidate goes straight to the local filter and gets exact
+            bounds — results are identical by construction, only the work
+            distribution changes (backoff schedule at the dense/sparse
+            decision site)."""
+            do_tighten = flags[2]
+            n_cand, u2, l2, lmin_all, cand = scan_full()
 
             # ---- phase 2a: tighten u over the compacted candidates ------
             # (the reference's global-filter tightening, kmeans.cu:541-582):
@@ -324,15 +359,16 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
             # dynamic-index gathers/scatters run ~20x below HBM speed on
             # TPU, so nothing O(n) goes through them.
             order, n_cand = C.stable_partition(cand)
-            n_active = (n_cand + chunk - 1) // chunk
+            order = pad_order(order)
+            n_active = (n_cand + schunk - 1) // schunk
 
             def tcond(carry):
                 return carry[0] < n_active
 
             def tbody(carry):
                 i, u3_full, passed_full = carry
-                base = i * chunk
-                idx = lax.dynamic_slice(order, (base,), (chunk,))
+                base = i * schunk
+                idx = lax.dynamic_slice(order, (base,), (schunk,))
                 row_ok = (base + offs) < n_cand
                 xb = x[idx]
                 xsqb = x_sq[idx]
@@ -363,25 +399,35 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
                         u3_full.at[idx_ok].set(u_ex, mode="drop"),
                         passed_full.at[idx_ok].set(passed_b, mode="drop"))
 
-            tinit = _mark_varying(
-                (jnp.int32(0), u2, jnp.zeros((nl,), bool)), axis_name)
-            _i, u3, passed = lax.while_loop(tcond, tbody, tinit)
-            passed_n = jnp.sum(passed, dtype=jnp.int32)
+            def with_tighten():
+                tinit = _mark_varying(
+                    (jnp.int32(0), u2, jnp.zeros((nl,), bool)), axis_name)
+                _i, u3, passed = lax.while_loop(tcond, tbody, tinit)
+                order2, n_passed = C.stable_partition(passed)
+                return u3, pad_order(order2), n_passed
+
+            def without_tighten():
+                # every candidate goes to the local filter; the candidate
+                # partition is reused (one sort saved)
+                return u2, order, n_cand
+
+            u3, order2, n_passed = lax.cond(
+                do_tighten, with_tighten, without_tighten)
+            passed_n = n_passed
 
             # ---- phase 2b: local filter over the compacted passed set ---
             # (the second compaction keys the expensive matmul loop to the
             # passed set; passed samples scattered among candidate chunks
             # would otherwise trigger the matmul on nearly every chunk)
-            order2, n_passed = C.stable_partition(passed)
-            n_active2 = (n_passed + chunk - 1) // chunk
+            n_active2 = (n_passed + schunk - 1) // schunk
 
             def lcond(carry):
                 return carry[0] < n_active2
 
             def lbody(carry):
                 (i, assign_full, u_full, l_full) = carry
-                base = i * chunk
-                idx = lax.dynamic_slice(order2, (base,), (chunk,))
+                base = i * schunk
+                idx = lax.dynamic_slice(order2, (base,), (schunk,))
                 row_ok = (base + offs) < n_passed
                 aid, u_new, l_new = exact_assign_bounds(x[idx], x_sq[idx])
                 idx_ok = jnp.where(row_ok, idx, nl)
@@ -393,75 +439,112 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
             linit = _mark_varying(
                 (jnp.int32(0), assign, u3, l2), axis_name)
             (_i2, assign2, u4, l4) = lax.while_loop(lcond, lbody, linit)
-            return assign2, u4, l4, passed_n
+            return assign2, u4, l4, n_cand, passed_n
 
-        def dense_iter(assign, u, l, do_refresh):
+        def dense_iter(assign, u, l, flags):
             """Dense path: when the global filter passes (almost)
             everything, one natural-order pass over ALL samples is
             strictly cheaper than compaction — no gathers, no scatters,
-            no tighten pass.  With ``do_refresh`` it also refreshes every
-            sample's bounds exactly: the TPU form of the reference's
-            bounds refresh (kmeans_yy_init re-run, YINYANG_REFRESH_EPSILON,
-            kmeans.cu:1117-1158); without it the lower bounds go vacuous
-            and the iteration costs exactly one plain Lloyd pass (the
-            backoff schedule around this is set where the dense/sparse
-            decision is made).  Per-row assignments are bitwise identical
-            to the compacted path either way (matmul elements are
-            row-independent and the argmin never reads a bound), so which
-            path — and whether it refreshes — never changes the output,
-            only the wall time.  The old l is never read (every valid
-            row's bound is either refreshed or zeroed), so only two
-            (n, G) arrays are ever live."""
+            no tighten pass.  Three bound-maintenance modes, scheduled at
+            the decision site:
+
+            - refresh: recompute every bound exactly (panel matmul) — the
+              TPU form of the reference's bounds refresh (kmeans_yy_init
+              re-run, YINYANG_REFRESH_EPSILON, kmeans.cu:1117-1158);
+            - preserve: keep the drifted lower bounds (one extra (n, G)
+              write) — used right after a refresh so the next iteration's
+              count can measure whether the refresh engaged the filter
+              before the backoff would discard it;
+            - plain: vacuous zero lower bounds; costs exactly one Lloyd
+              pass.  u refreshes exactly in every mode (free with the
+              assignment matmul).
+
+            Per-row assignments are bitwise identical to the compacted
+            path in every mode (matmul elements are row-independent and
+            the argmin never reads a bound), so mode choice never changes
+            the output, only the wall time.  At most two (n, G) arrays
+            are ever live."""
+            mode_refresh, mode_preserve = flags[0], flags[1]
+
+            def l2_and_count():
+                return scan_l2()
+
+            def count_only():
+                return scan_count(), _mark_varying(
+                    jnp.zeros((nl, g), bounds_dtype), axis_name)
+
+            n_cand, l_keep = lax.cond(
+                mode_preserve, l2_and_count, count_only)
+
             def dpass(with_l):
                 def dbody(_, inp):
                     xb, xsqb, vb, ab, ub = inp
-                    aid, u_new, l_new = exact_assign_bounds(
-                        xb, xsqb, with_l=with_l)
+                    out = exact_assign_bounds(xb, xsqb, with_l=with_l)
+                    aid, u_new = out[0], out[1]
                     aid = jnp.where(vb, aid, jnp.uint32(k))
-                    return None, (jnp.where(vb, aid, ab),
-                                  jnp.where(vb, u_new, ub),
-                                  l_new)
+                    res = (jnp.where(vb, aid, ab),
+                           jnp.where(vb, u_new, ub))
+                    if with_l:
+                        res += (out[2],)
+                    return None, res
 
                 def run():
-                    _, (a2, u4, l4) = lax.scan(
+                    _, outs = lax.scan(
                         dbody, None,
                         (x.reshape(nchunks, chunk, f),
                          x_sq.reshape(nchunks, chunk),
                          valid.reshape(nchunks, chunk),
                          assign.reshape(nchunks, chunk),
                          u.reshape(nchunks, chunk)))
-                    return (a2.reshape(nl), u4.reshape(nl),
-                            l4.reshape(nl, g))
+                    a2, u4 = outs[0].reshape(nl), outs[1].reshape(nl)
+                    l4 = outs[2].reshape(nl, g) if with_l else l_keep
+                    return a2, u4, l4
 
                 return run
 
-            a2, u4, l4 = lax.cond(do_refresh, dpass(True), dpass(False))
-            return a2, u4, l4, n_valid_local
+            a2, u4, l4 = lax.cond(mode_refresh, dpass(True), dpass(False))
+            return a2, u4, l4, n_cand, n_valid_local
 
         # global (replicated) dense/compacted decision so every shard
-        # compiles and takes the same branch
-        n_cand_all = n_cand
+        # compiles and takes the same branch.  The decision uses the
+        # PREVIOUS iteration's candidate count (carried, already psum'd):
+        # each branch then runs its own drift/count pass, which keeps the
+        # (n, G) arrays branch-local (no cross-branch defensive copies).
+        # A one-iteration-stale decision costs at most one suboptimal
+        # branch choice after a regime shift — never a different result.
         n_all = jnp.int32(nl)
         if axis_name is not None:
-            n_cand_all = lax.psum(n_cand_all, axis_name)
             n_all = lax.psum(n_all, axis_name)
-        use_dense = (n_cand_all.astype(jnp.float32)
-                     > config.YY_DENSE_FRACTION * n_all.astype(jnp.float32))
+        use_dense = first | (
+            prev_cand.astype(jnp.float32)
+            > config.YY_DENSE_FRACTION * n_all.astype(jnp.float32))
         if debug_mode != 0:  # triage modes must exercise the sparse path
             use_dense = jnp.bool_(False)
         # exponential-backoff refresh schedule for the dense path: each
         # bound refresh that fails to engage the filter (the next
         # iteration is dense again) doubles the number of plain-Lloyd
-        # iterations before the next try; a sparse iteration resets it
-        did_refresh = use_dense & (refresh_in <= 0)
-        assign2, u4, l4, passed_n = lax.cond(
-            use_dense, dense_iter, sparse_iter, assign, u, l, did_refresh)
+        # iterations before the next try; a sparse iteration resets it.
+        # The iteration right after a refresh preserves the fresh bounds
+        # so the engagement measurement survives to the next decision.
+        mode_refresh = use_dense & (refresh_in <= 0) & ~refreshed_prev
+        mode_preserve = use_dense & refreshed_prev
+        do_tighten = tskip_in <= 0
+        if debug_mode != 0:  # triage modes must exercise the tighten path
+            do_tighten = jnp.bool_(True)
+        assign2, u4, l4, n_cand, passed_n = lax.cond(
+            use_dense, dense_iter, sparse_iter, assign, u, l,
+            (mode_refresh, mode_preserve, do_tighten))
+        n_cand_all = n_cand
+        if axis_name is not None:
+            n_cand_all = lax.psum(n_cand_all, axis_name)
         refresh_in2 = jnp.where(
             ~use_dense, jnp.int32(0),
-            jnp.where(did_refresh, period, refresh_in - 1))
+            jnp.where(mode_refresh, period,
+                      jnp.where(mode_preserve, refresh_in,
+                                refresh_in - 1)))
         period2 = jnp.where(
             ~use_dense, jnp.int32(1),
-            jnp.where(did_refresh,
+            jnp.where(mode_refresh,
                       jnp.minimum(period * 2,
                                   jnp.int32(config.YY_REFRESH_BACKOFF_MAX)),
                       period))
@@ -477,12 +560,31 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
             d_counts = lax.psum(d_counts, axis_name)
             changed2 = lax.psum(changed2, axis_name)
             passed_n = lax.psum(passed_n, axis_name)
+        # tighten backoff: when it ran, keep it only if it pruned enough
+        # candidates to pay for itself; otherwise back off exponentially.
+        # When skipped, passed_n == n_cand (no information) — the counter
+        # just ticks down toward the next re-measure.
+        tighten_ran = (~use_dense) & do_tighten
+        pruned_enough = (
+            (n_cand_all - passed_n).astype(jnp.float32)
+            >= config.YY_TIGHTEN_MIN_PRUNE * n_cand_all.astype(jnp.float32))
+        tskip_in2 = jnp.where(
+            tighten_ran,
+            jnp.where(pruned_enough, jnp.int32(0), tperiod),
+            jnp.where(use_dense, tskip_in, tskip_in - 1))
+        tperiod2 = jnp.where(
+            tighten_ran & ~pruned_enough,
+            jnp.minimum(tperiod * 2,
+                        jnp.int32(config.YY_REFRESH_BACKOFF_MAX)),
+            jnp.where(tighten_ran, jnp.int32(1), tperiod))
         log_ch = log_ch.at[it].set(changed2)
         log_pa = log_pa.at[it].set(passed_n)
         log_ca = log_ca.at[it].set(n_cand_all)
         return (c_new, assign2, u4, l4,
                 (sums + d_sums, counts + d_counts), it + 1, changed2,
-                log_ch, log_pa, log_ca, (refresh_in2, period2))
+                log_ch, log_pa, log_ca,
+                (refresh_in2, period2, tskip_in2, tperiod2,
+                 n_cand_all, mode_refresh))
 
     assign0, u0, l0 = _mark_varying(
         (assign0, jnp.zeros((nl,), jnp.float32),
@@ -492,7 +594,8 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
             jnp.zeros((LOG_CAPACITY,), jnp.int32),
             jnp.zeros((LOG_CAPACITY,), jnp.int32),
             jnp.zeros((LOG_CAPACITY,), jnp.int32),
-            (jnp.int32(0), jnp.int32(1)))
+            (jnp.int32(0), jnp.int32(1), jnp.int32(0), jnp.int32(1),
+             jnp.int32(0), jnp.bool_(False)))
     (c_cur, assign, u_fin, l_fin, _sc, it, _changed, log_ch, log_pa,
      log_ca, _rb) = lax.while_loop(cond, body, init)
     return c_cur, assign, it, log_ch, log_pa, log_ca, u_fin, l_fin

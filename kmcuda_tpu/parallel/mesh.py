@@ -103,8 +103,14 @@ class Topology:
     def pad_to(self, n: int, chunk: int) -> int:
         """Global padded length: a multiple of n_devices * chunk so every
         shard scans a whole number of chunks (the analog of distribute()'s
-        512-byte alignment, private.h:248)."""
+        512-byte alignment, private.h:248).  Large inputs pad to 8-chunk
+        quanta so bandwidth-bound streaming passes can always fuse 8
+        chunks per step (the per-step scan scaffolding otherwise dominates
+        them); the extra rows are masked invalid and cost only their
+        stream time."""
         quantum = self.n * chunk
+        if n >= 8 * quantum:
+            quantum *= 8
         return -(-n // quantum) * quantum
 
     def pick_chunk(self, n: int, default_chunk: int) -> int:

@@ -122,3 +122,47 @@ def test_bound_invariants(tight):
         finite = np.isfinite(minother)
         assert (l_arr[finite, g_] <= minother[finite] + 1e-4).all(), \
             "l[%d] must lower-bound every other centroid of the group" % g_
+
+
+@pytest.mark.parametrize("knobs", [
+    dict(YY_REFRESH_BACKOFF_MAX=1, YY_TIGHTEN_MIN_PRUNE=0.0),
+    dict(YY_REFRESH_BACKOFF_MAX=64, YY_TIGHTEN_MIN_PRUNE=1.0),
+    dict(YY_DENSE_FRACTION=0.01),
+    dict(YY_DENSE_FRACTION=0.99),
+])
+def test_scheduling_knobs_never_change_results(tight, knobs, monkeypatch):
+    """The adaptive machinery (dense/sparse choice, bounds-refresh backoff,
+    tighten skip) trades wall time only: bounds never feed the argmin, so
+    any knob setting must yield the bitwise-identical trajectory."""
+    import jax
+
+    from kmcuda_tpu import config
+    from kmcuda_tpu.models import initialization as I
+    from kmcuda_tpu.models import lloyd as L
+    from kmcuda_tpu.models import yinyang as Y
+    from kmcuda_tpu.models.problem import prepare
+    from kmcuda_tpu.ops.distance import DistanceMetric
+    from kmcuda_tpu.parallel.mesh import Topology
+    from kmcuda_tpu.utils.logging import Logger
+
+    x, k = tight
+    topo = Topology(jax.devices()[:1])
+    p = prepare(x, k, DistanceMetric.L2, topo, Logger(0))
+    key = jax.random.key(5)
+    c0 = I.init_centroids(p, I.InitMethod.RANDOM, key)
+    ref_c, ref_a, _b, _it = Y.run(
+        p, c0, L.new_assignments(p), 0.0, 25, max_iterations=40, key=key)
+    ref_c, ref_a = np.asarray(ref_c), np.asarray(ref_a)
+
+    for name, val in knobs.items():
+        monkeypatch.setattr(config, name, val)
+    # the knobs are baked into the jitted program; drop the cache entry
+    Y._build_yy_run.cache_clear()
+    try:
+        yc, ya, _b2, _it2 = Y.run(
+            p, c0, L.new_assignments(p), 0.0, 25, max_iterations=40,
+            key=key)
+        assert np.array_equal(ref_a, np.asarray(ya))
+        assert np.array_equal(ref_c, np.asarray(yc), equal_nan=True)
+    finally:
+        Y._build_yy_run.cache_clear()
