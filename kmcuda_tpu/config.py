@@ -82,6 +82,16 @@ ASSIGN_TILE_F = 512
 KNN_TILE_Q = 512
 KNN_TILE_M = 2048
 
+#: Queries per k-nn search dispatch (per device).  The search runs as a
+#: sequence of host-level batches rather than one monolithic device
+#: program: on weakly-prunable data (high dimensions defeat the triangle
+#: inequality) an exact k-nn over 1M+ samples legitimately runs for tens
+#: of minutes, and a single dispatch that long is fragile (runtime
+#: watchdogs kill the worker — observed on the axon tunnel — and there is
+#: no progress signal).  Batches bound each dispatch and surface progress
+#: through the logger.  Results are independent of the batch size.
+KNN_QUERY_BATCH = 65536
+
 #: Fused Pallas assignment kernel for the Lloyd hot loop
 #: (ops/assign_pallas.py).  "auto" = use it for bf16 storage (measured 12%
 #: faster than the XLA scan; at fp32-HIGHEST precision XLA wins), True =

@@ -92,13 +92,20 @@ def _search(xq, xq_sq, q_ids, xm, m_valid, *, k, metric, chunk, tile_m,
             # reference is validated against, test.py:598-603)
             d = jnp.where(qidb[:, None] == midt[None, :], INF, d)
             d = jnp.where(mpent[None, :] > 0, INF, d)
-            cat_d = jnp.concatenate([best_d, d], axis=1)
-            cat_i = jnp.concatenate([best_i, jnp.broadcast_to(
-                midt[None, :], d.shape)], axis=1)
-            # argmin-extraction selection (ties -> lowest member id); no
-            # lax.top_k / lax.sort, which fault the TPU runtime inside
-            # large scanned searches (see ops/knn_prune.select_k).
-            return KP.select_k(cat_d, cat_i, kk), None
+            # skip the (expensive) select_k merge when the tile improves
+            # no query's candidate buffer — one min-pass decides, '<=' so
+            # knife-edge ties still merge (see ops/knn_prune.search)
+            improves = jnp.any(jnp.min(d, axis=1) <= best_d[:, kk - 1])
+
+            def merge(_):
+                cat_d = jnp.concatenate([best_d, d], axis=1)
+                cat_i = jnp.concatenate([best_i, jnp.broadcast_to(
+                    midt[None, :], d.shape)], axis=1)
+                # argmin-extraction selection (ties -> lowest member id)
+                return KP.select_k(cat_d, cat_i, kk)
+
+            return lax.cond(improves, merge,
+                            lambda _: (best_d, best_i), None), None
 
         init = mark_varying((jnp.full((chunk, kk), INF),
                              jnp.full((chunk, kk), jnp.int32(-1))))
@@ -182,16 +189,17 @@ def _cluster_structure(x, x_sq, valid, assign, centroids, *, n_clusters,
 
 @functools.lru_cache(maxsize=64)
 def _build_pruned_search(mesh, k_neighbors, n_clusters, metric, chunk,
-                         tile_m):
+                         tile_m, n_batch_chunks):
     from kmcuda_tpu.ops import knn_prune as KP
 
     fn = functools.partial(
         KP.search, k_neighbors=k_neighbors, n_clusters=n_clusters,
-        metric=metric, chunk=chunk, tile_m=tile_m, axis_name=AXIS)
+        metric=metric, chunk=chunk, tile_m=tile_m,
+        n_batch_chunks=n_batch_chunks, axis_name=AXIS)
     return jax.jit(jax.shard_map(
         fn, mesh=mesh,
         in_specs=(P(AXIS, None), P(AXIS), P(AXIS), P(AXIS), P(None, None),
-                  P(None), P(None, None)),
+                  P(None), P(None, None), P()),
         out_specs=(P(AXIS, None), P(AXIS, None), P())))
 
 
@@ -242,10 +250,44 @@ def run(problem, centroids, assignments, k_neighbors: int):
     m_valid = p.topo.put_replicated(p.valid[sorder])
     t_mat = p.topo.put_replicated(t_mat)
 
+    # host-level batching: no single device dispatch runs unboundedly
+    # long (weakly-prunable data makes an exact 1M+ search take tens of
+    # minutes — one monolithic dispatch gets killed by runtime watchdogs
+    # and reports no progress).  Results are batch-size independent.
+    nl_local = p.n_pad // p.topo.n
+    nchunks_local = nl_local // q_chunk
+    k_batch = min(nchunks_local,
+                  max(1, config.KNN_QUERY_BATCH // q_chunk))
+    n_full = nchunks_local // k_batch
+    rem = nchunks_local - n_full * k_batch
     search = _build_pruned_search(
-        p.topo.mesh, k_neighbors, p.k, p.metric, q_chunk, tile_m)
-    nbr_pos, dist, tiles = search(
-        xq, xq_sq, q_own, q_assign, xm, m_valid, t_mat)
+        p.topo.mesh, k_neighbors, p.k, p.metric, q_chunk, tile_m, k_batch)
+    parts, tiles = [], 0
+    for b in range(n_full):
+        nbp, dsb, tb = search(xq, xq_sq, q_own, q_assign, xm, m_valid,
+                              t_mat, jnp.int32(b * k_batch))
+        parts.append((nbp, dsb))
+        tiles += int(tb)
+        if n_full + (1 if rem else 0) > 1:
+            p.logger.debug("knn: batch %d/%d (%d tile visits)"
+                           % (b + 1, n_full + (1 if rem else 0), int(tb)))
+    if rem:
+        search_r = _build_pruned_search(
+            p.topo.mesh, k_neighbors, p.k, p.metric, q_chunk, tile_m, rem)
+        nbp, dsb, tb = search_r(xq, xq_sq, q_own, q_assign, xm, m_valid,
+                                t_mat, jnp.int32(n_full * k_batch))
+        parts.append((nbp, dsb))
+        tiles += int(tb)
+
+    def reassemble(ps):
+        # each part is shard-major ((n_dev * rows_b, k)); concatenate the
+        # per-device row blocks in batch order
+        nd = p.topo.n
+        blocks = [q.reshape(nd, -1, q.shape[-1]) for q in ps]
+        return jnp.concatenate(blocks, axis=1).reshape(-1, ps[0].shape[-1])
+
+    nbr_pos = reassemble([q for q, _ in parts])
+    dist = reassemble([d for _, d in parts])
 
     frac = float(tiles) * q_chunk * tile_m / (float(p.n) ** 2)
     # same progress line as the reference (knn.cu:521-530)

@@ -53,12 +53,17 @@ SLACK = 1e-5
 def select_k(d, idx, kk):
     """Ascending (distance, id)-lexicographic k-smallest selection.
 
-    ``lax.top_k`` / ``lax.sort`` inside this search's while-loop fault the
-    TPU runtime at scale (isolated empirically: the identical loop with the
-    merge removed runs clean at 1M+ samples, adding either sort op faults
-    the device).  This selection uses only min / compare / where — the ops
-    the proven-clean variant used — at ``kk`` passes over the candidate
-    row, ~5-15%% of the tile matmul's work for typical (k, features).
+    min/compare/where only — ``kk`` masked passes over the candidate row.
+    Chosen over ``lax.top_k``/``lax.sort`` because the (distance, id)
+    lexicographic tie-break is exact by construction (top_k breaks ties
+    by column position), and because at ``kk`` ~ tens the pass count is
+    competitive.  NOTE the bandwidth profile: a merge costs ~kk row
+    passes, which dwarfs the tile matmul that produced the candidates —
+    callers gate merges behind a one-pass "does this tile improve any
+    buffer" test.  (Historical: TPU faults once blamed on sort ops in
+    this loop were actually a runtime watchdog killing monolithic
+    multi-minute dispatches; fixed by host-level query batching,
+    config.KNN_QUERY_BATCH.)
 
     d:   (n, m) candidate distances.
     idx: (n, m) candidate ids (unique per row among finite-distance
@@ -108,18 +113,25 @@ def tile_bounds(cd, radii, a_sorted, m_valid, n_tiles, tile_m):
     return jnp.concatenate([t, jnp.full((1, n_tiles), big)])
 
 
-def search(xq, xq_sq, q_own, q_assign, xm, m_valid, t_mat, *,
-           k_neighbors, n_clusters, metric, chunk, tile_m, axis_name=None):
-    """Pruned search over the local query shard (cluster-sorted layout).
+def search(xq, xq_sq, q_own, q_assign, xm, m_valid, t_mat, chunk_base, *,
+           k_neighbors, n_clusters, metric, chunk, tile_m, n_batch_chunks,
+           axis_name=None):
+    """Pruned search over one batch of the local query shard
+    (cluster-sorted layout).
 
     xq/xq_sq/q_own/q_assign: local shard of the sorted queries — rows,
       squared norms, exact own-centroid distance, cluster id (k invalid).
     xm/m_valid: replicated sorted members + validity.
     t_mat: (k+1, n_tiles) tile bounds.
+    chunk_base: first local chunk of this batch (traced scalar); the call
+      processes local rows [chunk_base*chunk, (chunk_base +
+      n_batch_chunks)*chunk).  The driver loops over batches so no single
+      device dispatch runs unboundedly long (see config.KNN_QUERY_BATCH).
 
-    Returns (neighbors (Nl, k) int32 — *sorted positions*, distances
-    (Nl, k) f32 ascending, tiles_computed () int32 — number of
-    (chunk, tile) score matmuls executed, psum'd across the mesh).
+    Returns (neighbors (n_batch_chunks*chunk, k) int32 — *sorted
+    positions*, distances (..., k) f32 ascending, tiles_computed ()
+    int32 — number of (chunk, tile) score matmuls executed, psum'd
+    across the mesh).
     """
     nl, f = xq.shape
     nm = xm.shape[0]
@@ -130,31 +142,54 @@ def search(xq, xq_sq, q_own, q_assign, xm, m_valid, t_mat, *,
     xm_sq = D.row_sq_norms(xm)
     m_pen = jnp.where(m_valid, 0.0, config.PAD_PENALTY)
 
-    nchunks = nl // chunk
+    nchunks = n_batch_chunks
+    nb = nchunks * chunk
+    row_base = chunk_base * chunk
+    xq = lax.dynamic_slice(xq, (row_base, 0), (nb, f))
+    xq_sq = lax.dynamic_slice(xq_sq, (row_base,), (nb,))
+    q_own = lax.dynamic_slice(q_own, (row_base,), (nb,))
+    q_assign = lax.dynamic_slice(q_assign, (row_base,), (nb,))
     iota_k1 = lax.broadcasted_iota(jnp.uint32, (1, k + 1), 1)
     iota_m = lax.broadcasted_iota(jnp.int32, (1, tile_m), 1)
-    # global sorted position of each local query row
+    # global sorted position of each query row in this batch
     if axis_name is not None:
         shard_off = lax.axis_index(axis_name) * nl
     else:
         shard_off = 0
-    q_pos = shard_off + lax.broadcasted_iota(jnp.int32, (nl, 1), 0)[:, 0]
+    q_pos = (shard_off + row_base
+             + lax.broadcasted_iota(jnp.int32, (nb, 1), 0)[:, 0])
 
-    def per_chunk(count, inp):
-        qb, qsqb, ownb, ab, qposb = inp
-        oh = (ab[:, None] == iota_k1).astype(jnp.float32)
+    # ---- pass 1: per-chunk tile bounds, ONE batched sort ----------------
+    # Visit order must be most-promising-first (ascending chunk-min
+    # bound).  The sort runs OUTSIDE the search scan, batched over all
+    # chunks: a lax.sort inside a large scanned search faults the TPU
+    # runtime (empirical, same class as the select_k note above), and one
+    # (nchunks, nt) sort is cheaper than nchunks small ones anyway.
+    def chunk_bounds(_, inp):
+        qb_a, qb_own = inp
+        oh = (qb_a[:, None] == iota_k1).astype(jnp.float32)
         tb = jnp.dot(oh, t_mat,
-                     precision=lax.Precision.HIGHEST) - ownb[:, None]
+                     precision=lax.Precision.HIGHEST) - qb_own[:, None]
         tb = tb - SLACK * (1.0 + jnp.abs(tb))
-        tb_min = jnp.min(tb, axis=0)                         # (nt,)
-        # visit tiles most-promising-first and STOP once the next tile's
-        # chunk-min bound exceeds every query's running kth distance: all
-        # later tiles bound even higher, so the visited prefix is provably
-        # sufficient.  A dynamic-trip while beats a cond-per-tile scan
-        # (skipped tail costs nothing, and the nested cond-in-scan-in-scan
-        # construct faulted the TPU at scale).
-        sorted_min, tile_order = lax.sort(
-            (tb_min, jnp.arange(nt, dtype=jnp.int32)), num_keys=1)
+        return None, jnp.min(tb, axis=0)                     # (nt,)
+
+    _, tb_min_all = lax.scan(
+        chunk_bounds, None,
+        (q_assign.astype(jnp.uint32).reshape(nchunks, chunk),
+         q_own.reshape(nchunks, chunk)))                     # (nchunks, nt)
+    iota_nt = jnp.broadcast_to(
+        lax.broadcasted_iota(jnp.int32, (1, nt), 1), tb_min_all.shape)
+    sorted_min_all, tile_order_all = lax.sort(
+        (tb_min_all, iota_nt), dimension=1, num_keys=1)
+
+    # ---- pass 2: the pruned search, tile order precomputed --------------
+    def per_chunk(count, inp):
+        qb, qsqb, ownb, ab, qposb, sorted_min, tile_order = inp
+        # stop once the next tile's chunk-min bound exceeds every query's
+        # running kth distance: all later tiles bound even higher, so the
+        # visited prefix is provably sufficient.  A dynamic-trip while
+        # beats a cond-per-tile scan (skipped tail costs nothing, and the
+        # nested cond-in-scan-in-scan construct faulted the TPU at scale).
 
         def vcond(carry):
             r, best_d, _best_i, _count = carry
@@ -173,11 +208,25 @@ def search(xq, xq_sq, q_own, q_assign, xm, m_valid, t_mat, *,
             mpos = j * tile_m + iota_m[0]
             d = jnp.where(qposb[:, None] == mpos[None, :], INF, d)
             d = jnp.where(mpen[None, :] > 0, INF, d)
-            cat_d = jnp.concatenate([best_d, d], axis=1)
-            cat_i = jnp.concatenate(
-                [best_i, jnp.broadcast_to(mpos[None, :], d.shape)],
-                axis=1)
-            nbd, nbi = select_k(cat_d, cat_i, kk)
+            # the select_k merge costs ~kk passes over the tile row —
+            # far more than the tile matmul itself — but the cluster-loose
+            # tile bound means most visited tiles improve nobody's buffer.
+            # One cheap min-pass decides; '<=' (not '<') so a knife-edge
+            # tie still merges and id-tie-breaking stays exact.
+            improves = jnp.any(
+                jnp.min(d, axis=1) <= best_d[:, kk - 1])
+
+            def merge(_):
+                cat_d = jnp.concatenate([best_d, d], axis=1)
+                cat_i = jnp.concatenate(
+                    [best_i, jnp.broadcast_to(mpos[None, :], d.shape)],
+                    axis=1)
+                return select_k(cat_d, cat_i, kk)
+
+            def keep(_):
+                return best_d, best_i
+
+            nbd, nbi = lax.cond(improves, merge, keep, None)
             return (r + 1, nbd, nbi, count + 1)
 
         init = (jnp.int32(0), jnp.full((chunk, kk), INF),
@@ -209,7 +258,8 @@ def search(xq, xq_sq, q_own, q_assign, xm, m_valid, t_mat, *,
         (xq.reshape(nchunks, chunk, f), xq_sq.reshape(nchunks, chunk),
          q_own.reshape(nchunks, chunk),
          q_assign.astype(jnp.uint32).reshape(nchunks, chunk),
-         q_pos.reshape(nchunks, chunk)))
+         q_pos.reshape(nchunks, chunk),
+         sorted_min_all, tile_order_all))
     if axis_name is not None:
         count = lax.psum(count, axis_name)
-    return nbr.reshape(nl, k_neighbors), dist.reshape(nl, k_neighbors), count
+    return nbr.reshape(nb, k_neighbors), dist.reshape(nb, k_neighbors), count

@@ -84,3 +84,19 @@ def test_cosine_knn(samples):
     np.fill_diagonal(sims, -np.inf)
     exact = np.argsort(-sims, axis=1, kind="stable")[:, :5]
     assert (nb != exact).mean() < 0.01
+
+
+def test_query_batching_invariant(samples, clustered):
+    """The host-level dispatch batching (config.KNN_QUERY_BATCH) must not
+    change results — only how many device programs the search is split
+    into."""
+    from kmcuda_tpu import config
+
+    ref = knn_tpu(7, samples, *clustered)
+    old = config.KNN_QUERY_BATCH
+    config.KNN_QUERY_BATCH = 1024   # forces many small batches
+    try:
+        nb = knn_tpu(7, samples, *clustered)
+    finally:
+        config.KNN_QUERY_BATCH = old
+    assert np.array_equal(np.asarray(ref), np.asarray(nb))
