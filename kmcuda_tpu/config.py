@@ -42,6 +42,28 @@ AFKMC2_DEFAULT_M = 200
 #: data where Lloyd cycles.
 DEFAULT_MAX_ITERATIONS = 65535
 
+#: Stagnation stop: end the iteration when the reassignment count has not
+#: improved its running best for this many consecutive iterations.  In
+#: reduced precision (bf16 storage) on concentrated data, score rounding
+#: flips near-boundary samples forever: the churn floor can sit ABOVE the
+#: requested tolerance (measured: ~4% at 8M x 256 uniform bf16 vs a 1%
+#: tolerance), and without this stop the loop runs to the iteration cap —
+#: hours of no progress (the reference, with no cap at all, would spin
+#: forever, README.md:119-122 only warns fp16 "needs more iterations").
+#: Generous on purpose: any genuinely converging run sets a new best long
+#: before 50 stale iterations.
+STAGNATION_PATIENCE = 50
+
+#: Iterations per device dispatch of the convergence loops.  The on-device
+#: while_loop avoids a host sync per iteration (the reference pays one,
+#: check_changed, kmeans.cu:697-717), but an UNBOUNDED single dispatch is
+#: fragile — runtime watchdogs kill multi-minute programs, and the user
+#: sees no progress.  Segmenting costs one host round-trip per this many
+#: iterations, streams the ``iteration N:`` lines live per segment, and
+#: gives the host a backstop stagnation check.  Results are bitwise
+#: independent of the segment length (resume state is exact).
+LOOP_SEGMENT_ITERATIONS = 256
+
 # ---- size limits (mirroring the reference's uint32 layout constraints,
 # README.md:116-118, enforced at kmcuda.cc:31-39 / python.cc:109-118) --------
 

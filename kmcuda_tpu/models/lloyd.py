@@ -51,8 +51,9 @@ def _build_run(mesh, n_clusters, metric, chunk, use_pallas=False):
     mapped = jax.shard_map(
         fn, mesh=mesh,
         in_specs=(P(AXIS, None), P(AXIS), P(AXIS), P(AXIS), P(None, None),
-                  P(), P()),
-        out_specs=(P(None, None), P(AXIS), P(AXIS), P(), P()))
+                  P(), P(), P()),
+        out_specs=(P(None, None), P(None, None), P(AXIS), P(AXIS), P(),
+                   P()))
     return jax.jit(mapped, donate_argnums=(3,))
 
 
@@ -65,10 +66,63 @@ def _build_run_incremental(mesh, n_clusters, metric, chunk):
     mapped = jax.shard_map(
         fn, mesh=mesh,
         in_specs=(P(AXIS, None), P(AXIS), P(AXIS), P(AXIS), P(None, None),
-                  P(None, None), P(None), P(), P()),
-        out_specs=(P(None, None), P(AXIS), P(AXIS), P(None, None), P(None),
-                   P(), P()))
+                  P(None, None), P(None), P(), P(), P()),
+        out_specs=(P(None, None), P(None, None), P(AXIS), P(AXIS),
+                   P(None, None), P(None), P(), P()))
     return jax.jit(mapped, donate_argnums=(3,))
+
+
+
+class _SegmentDriver:
+    """Host-side driver state for a segmented convergence loop: streams
+    the per-iteration log lines live, tracks the iteration budget, and
+    applies the cross-segment stagnation backstop (same 1/64 meaningful-
+    improvement rule as the in-device patience — a churn floor that only
+    creeps between segments still terminates)."""
+
+    def __init__(self, logger, tol_count, max_iterations, iter_offset=0):
+        self.logger = logger
+        self.tol = int(tol_count)
+        self.cap = int(max_iterations)
+        self.offset = iter_offset
+        self.done = 0
+        self.mark = None
+        self.last = 0
+        self.stagnated = False
+
+    def next_segment(self):
+        return min(config.LOOP_SEGMENT_ITERATIONS, self.cap - self.done)
+
+    def absorb(self, it, changed_log, extra=None):
+        """Log a finished segment; True = keep iterating.  ``extra(i)``
+        runs after each iteration line (e.g. Yinyang's candidate-count
+        debug lines)."""
+        seg_req = self.next_segment()
+        it = int(it)
+        log = changed_log[:it].tolist()
+        for i, c in enumerate(log):
+            self.logger.iteration(self.offset + self.done + i + 1, c)
+            if extra is not None:
+                extra(i)
+        self.done += it
+        self.last = log[-1] if log else 0
+        if not log or self.last <= self.tol or self.done >= self.cap:
+            return False
+        if it < seg_req:
+            self.stagnated = True   # the device patience tripped
+            return False
+        seg_min = min(log)
+        if self.mark is not None and seg_min >= self.mark - (self.mark >> 6):
+            self.stagnated = True
+            return False
+        self.mark = seg_min if self.mark is None else min(self.mark, seg_min)
+        return True
+
+    def finish(self):
+        if self.stagnated:
+            self.logger.info(
+                "stopping: reassignments stagnated at %d (churn floor "
+                "above the tolerance; see STAGNATION_PATIENCE)" % self.last)
 
 
 def run_incremental(problem, centroids, assignments, tolerance,
@@ -91,16 +145,19 @@ def run_incremental(problem, centroids, assignments, tolerance,
             jnp.zeros((p.k, p.features), jnp.float32))
         counts = p.topo.put_replicated(jnp.zeros((p.k,), jnp.int32))
     tol_count = jnp.int32(int(tolerance * p.n))
-    centroids, assignments, _best, sums, counts, it, changed_log = run_fn(
-        p.x, p.x_sq, p.valid, assignments, centroids, sums, counts,
-        tol_count, jnp.int32(max_iterations))
-    it, changed_log = jax.device_get((it, changed_log))
-    it = int(it)
-    changed_log = changed_log[:it].tolist()
-    for i, c in enumerate(changed_log):
-        p.logger.iteration(iter_offset + i + 1, c)
-    return centroids, assignments, sums, counts, it, \
-        changed_log[-1] if changed_log else 0
+    drv = _SegmentDriver(p.logger, int(tol_count), max_iterations,
+                         iter_offset)
+    patience = jnp.int32(config.STAGNATION_PATIENCE)
+    while True:
+        c_used, c_next, assignments, _best, sums, counts, it, log = run_fn(
+            p.x, p.x_sq, p.valid, assignments, centroids, sums, counts,
+            tol_count, jnp.int32(drv.next_segment()), patience)
+        it, log = jax.device_get((it, log))
+        if not drv.absorb(it, log):
+            break
+        centroids = c_next
+    drv.finish()
+    return c_used, assignments, sums, counts, drv.done, drv.last
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "chunk"))
@@ -174,16 +231,19 @@ def run(problem, centroids, assignments, tolerance, max_iterations=None,
     use_pallas = use_pallas and p.n_pad % 1024 == 0 and p.chunk % 128 == 0
     run_fn = _build_run(p.topo.mesh, p.k, p.metric, p.chunk, use_pallas)
     tol_count = jnp.int32(int(tolerance * p.n))
-    centroids, assignments, best, it, changed_log = run_fn(
-        p.x, p.x_sq, p.valid, assignments, centroids, tol_count,
-        jnp.int32(max_iterations))
-    # one readback for the whole run; replay the reference's per-iteration
-    # progress lines from the on-device log
-    it, changed_log = jax.device_get((it, changed_log))
-    it = int(it)
-    changed_log = changed_log[:it].tolist()
-    for i, c in enumerate(changed_log):
-        p.logger.iteration(iter_offset + i + 1, c)
-    return centroids, assignments, best, it, \
-        changed_log[-1] if changed_log else 0
+    # segmented on-device loop: one readback per segment; the reference's
+    # per-iteration progress lines replay from each segment's log
+    drv = _SegmentDriver(p.logger, int(tol_count), max_iterations,
+                         iter_offset)
+    patience = jnp.int32(config.STAGNATION_PATIENCE)
+    while True:
+        c_used, c_next, assignments, best, it, log = run_fn(
+            p.x, p.x_sq, p.valid, assignments, centroids, tol_count,
+            jnp.int32(drv.next_segment()), patience)
+        it, log = jax.device_get((it, log))
+        if not drv.absorb(it, log):
+            break
+        centroids = c_next
+    drv.finish()
+    return c_used, assignments, best, drv.done, drv.last
 

@@ -45,10 +45,10 @@ def _build_yy_run(mesh, n_clusters, groups, group_cap, metric, chunk,
         fn, mesh=mesh,
         in_specs=(P(AXIS, None), P(AXIS), P(AXIS), P(AXIS), P(None, None),
                   P(None, None), P(None), P(None, None), P(None, None),
-                  P(None), P(), P()),
+                  P(None), P(AXIS), P(AXIS, None), P(), P(), P(), P()),
         out_specs=(P(None, None), P(AXIS), P(), P(), P(), P(),
-                   P(AXIS), P(AXIS, None)))
-    return jax.jit(mapped, donate_argnums=(3,))
+                   P(AXIS), P(AXIS, None), P(None, None), P(None)))
+    return jax.jit(mapped, donate_argnums=(3, 10, 11))
 
 
 @functools.partial(jax.jit, static_argnames=("groups", "metric", "chunk"))
@@ -77,9 +77,10 @@ def _group_kmeans(c_in, key, tol_count, *, groups, metric, chunk):
     c0 = I._init_plus_plus(x, x_sq, valid, jnp.sum(valid, dtype=jnp.int32),
                            key, k=groups, metric=metric)
     prev = jnp.full((kp,), groups, jnp.uint32)
-    g_cent, g_assign, _best, _it, _log = A.lloyd_run(
+    g_cent, _g_next, g_assign, _best, _it, _log = A.lloyd_run(
         x, x_sq, valid, prev, c0, tol_count,
-        jnp.int32(config.DEFAULT_MAX_ITERATIONS), n_clusters=groups,
+        jnp.int32(config.DEFAULT_MAX_ITERATIONS),
+        jnp.int32(config.STAGNATION_PATIENCE), n_clusters=groups,
         metric=metric, chunk=chunk, axis_name=None)
     dists = D.pairwise_distance(x, g_cent, metric)
     dists = jnp.where(jnp.isfinite(dists), dists, jnp.inf)
@@ -198,21 +199,36 @@ def run(problem, centroids, assignments, tolerance, groups,
                            p.chunk, debug_mode=config.YY_DEBUG_MODE,
                            bounds_dtype=bounds_dtype)
     tol_count = jnp.int32(int(tolerance * p.n))
-    c_fin, assign, it, log_ch, log_pa, log_ca, _u_fin, _l_fin = run_fn(
-        p.x, p.x_sq, p.valid, assignments, centroids, sums, counts,
-        p.topo.put_replicated(jnp.asarray(pad_src)),
-        p.topo.put_replicated(jnp.asarray(pad_pen)),
-        p.topo.put_replicated(jnp.asarray(flat_slot)),
-        tol_count, jnp.int32(min(max_iterations,
-                                 config.DEFAULT_MAX_ITERATIONS)))
-    it, log_ch, log_pa, log_ca = jax.device_get(
-        (it, log_ch, log_pa, log_ca))
-    it = int(it)
-    log_ch = log_ch[:it]
-    log_pa = log_pa[:it]
-    log_ca = log_ca[:it]
-    for i in range(it):
-        p.logger.iteration(it0 + i + 1, int(log_ch[i]))
-        p.logger.debug("yinyang: %d candidates, %d samples passed the "
-                       "global filter" % (int(log_ca[i]), int(log_pa[i])))
-    return c_fin, assign, None, it0 + it
+    pad_src_d = p.topo.put_replicated(jnp.asarray(pad_src))
+    pad_pen_d = p.topo.put_replicated(jnp.asarray(pad_pen))
+    flat_slot_d = p.topo.put_replicated(jnp.asarray(flat_slot))
+    u = p.topo.put_sharded(jnp.zeros((p.n_pad,), jnp.float32))
+    l = p.topo.put_sharded(jnp.zeros((p.n_pad, groups), bounds_dtype))
+    patience = jnp.int32(config.STAGNATION_PATIENCE)
+    # segmented device loop (bounded dispatches, live progress, exact
+    # (u, l, sums, counts, centroids) carryover between segments)
+    drv = L._SegmentDriver(
+        p.logger, int(tol_count),
+        max(1, min(max_iterations, config.DEFAULT_MAX_ITERATIONS) - it0),
+        iter_offset=it0)
+    resume = jnp.bool_(False)
+    while True:
+        (c_fin, assignments, it, log_ch, log_pa, log_ca, u, l, sums,
+         counts) = run_fn(
+            p.x, p.x_sq, p.valid, assignments, centroids, sums, counts,
+            pad_src_d, pad_pen_d, flat_slot_d, u, l,
+            tol_count, jnp.int32(drv.next_segment()), patience, resume)
+        it, log_ch, log_pa, log_ca = jax.device_get(
+            (it, log_ch, log_pa, log_ca))
+
+        def _dbg(i):
+            p.logger.debug("yinyang: %d candidates, %d samples passed the "
+                           "global filter"
+                           % (int(log_ca[i]), int(log_pa[i])))
+
+        if not drv.absorb(it, log_ch, extra=_dbg):
+            break
+        centroids = c_fin
+        resume = jnp.bool_(True)
+    drv.finish()
+    return c_fin, assignments, None, it0 + drv.done

@@ -162,11 +162,23 @@ def assign_pass(x, valid, centroids, *, n_clusters, metric, chunk):
     return assign.reshape(nl), best.reshape(nl)
 
 
+
+def _stagnation_update(changed2, mark, stale):
+    """Stagnation tracking: a new best only resets the stale counter when
+    it beats the mark by at least mark/64 (~1.6%).  A reduced-precision
+    churn floor can CREEP downward a fraction of a percent per iteration
+    indefinitely; creep slower than 1.6% per patience window is
+    stagnation, while genuine convergence tails improve far faster."""
+    improved = changed2 < mark - (mark >> 6)
+    return (jnp.where(improved, changed2, mark),
+            jnp.where(improved, jnp.int32(0), stale + 1))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_clusters", "metric", "chunk", "axis_name"))
 def lloyd_run_incremental(x, x_sq, valid, prev_assign, centroids, sums,
-                          counts, tol_count, max_iterations, *,
+                          counts, tol_count, max_iterations, patience, *,
                           n_clusters: int, metric: D.DistanceMetric,
                           chunk: int, axis_name=None):
     """On-device Lloyd loop with *incremental* centroid updates.
@@ -182,8 +194,9 @@ def lloyd_run_incremental(x, x_sq, valid, prev_assign, centroids, sums,
     Pass sums=counts=0 and prev_assign=k-filled for a fresh start (the
     first iteration's delta then equals the full segment-sum).
 
-    Returns (centroids_used, assign, best, sums, counts, iterations,
-    changed_log).
+    Returns (centroids_used, centroids_next, assign, best, sums, counts,
+    iterations, changed_log); ``centroids_next`` resumes a segmented run
+    exactly where this one stopped.
     """
     from kmcuda_tpu.ops import compact as C
 
@@ -192,12 +205,13 @@ def lloyd_run_incremental(x, x_sq, valid, prev_assign, centroids, sums,
     centroids = centroids.astype(jnp.float32)
 
     def cond(carry):
-        it, changed = carry[6], carry[7]
-        return (it == 0) | ((changed > tol_count) & (it < max_iterations))
+        it, changed, (_bestch, stale) = carry[6], carry[7], carry[9]
+        return (it == 0) | ((changed > tol_count) & (it < max_iterations)
+                            & (stale < patience))
 
     def body(carry):
         (_c_used, c_cur, assign, _best, sums, counts, it, _changed,
-         log) = carry
+         log, (bestch, stale)) = carry
         assign2, best2 = assign_pass(
             x, valid, c_cur, n_clusters=k, metric=metric, chunk=chunk)
         order, n_moved = C.stable_partition(assign2 != assign)
@@ -214,18 +228,20 @@ def lloyd_run_incremental(x, x_sq, valid, prev_assign, centroids, sums,
         c_next = D.normalize_centroids(
             sums2, counts2.astype(jnp.float32), metric)
         log = log.at[it].set(changed2)
+        mark2, stale2 = _stagnation_update(changed2, bestch, stale)
         return (c_cur, c_next, assign2, best2, sums2, counts2, it + 1,
-                changed2, log)
+                changed2, log, (mark2, stale2))
 
     nl = x.shape[0]
     assign0, best0 = _mark_varying(
         (prev_assign, jnp.zeros((nl,), jnp.float32)), axis_name)
     init = (centroids, centroids, assign0, best0, sums, counts,
             jnp.int32(0), jnp.int32(jnp.iinfo(jnp.int32).max),
-            jnp.zeros((LOG_CAPACITY,), jnp.int32))
-    (c_used, _c_next, assign, best, sums, counts, it, _changed,
-     log) = lax.while_loop(cond, body, init)
-    return c_used, assign, best, sums, counts, it, log
+            jnp.zeros((LOG_CAPACITY,), jnp.int32),
+            (jnp.int32(jnp.iinfo(jnp.int32).max), jnp.int32(0)))
+    (c_used, c_next, assign, best, sums, counts, it, _changed,
+     log, _bs) = lax.while_loop(cond, body, init)
+    return c_used, c_next, assign, best, sums, counts, it, log
 
 
 @functools.partial(
@@ -261,7 +277,7 @@ def lloyd_step(x, x_sq, valid, prev_assign, centroids, *,
     static_argnames=("n_clusters", "metric", "chunk", "axis_name",
                      "use_pallas", "interpret"))
 def lloyd_run(x, x_sq, valid, prev_assign, centroids, tol_count,
-              max_iterations, *, n_clusters: int,
+              max_iterations, patience, *, n_clusters: int,
               metric: D.DistanceMetric, chunk: int, axis_name=None,
               use_pallas=False, interpret=False):
     """Run Lloyd to convergence entirely on device.
@@ -274,24 +290,30 @@ def lloyd_run(x, x_sq, valid, prev_assign, centroids, tol_count,
     the same ``iteration N: M reassignments`` lines after the fact — one
     readback per *run* instead of per iteration.
 
-    Returns (centroids_used, assign, best, iterations, changed_log) where
-    ``centroids_used`` are the centroids the final assignment was computed
-    against (the reference also stops before re-adjusting).
+    Returns (centroids_used, centroids_next, assign, best, iterations,
+    changed_log): ``centroids_used`` are the centroids the final
+    assignment was computed against (the reference also stops before
+    re-adjusting); ``centroids_next`` resumes a segmented run exactly.
     """
     centroids = centroids.astype(jnp.float32)
 
     def cond(carry):
-        _c_used, _c_next, _assign, _best, it, changed, _log = carry
-        return (it == 0) | ((changed > tol_count) & (it < max_iterations))
+        (_c_used, _c_next, _assign, _best, it, changed, _log,
+         (_bestch, stale)) = carry
+        return (it == 0) | ((changed > tol_count) & (it < max_iterations)
+                            & (stale < patience))
 
     def body(carry):
-        _c_used, c_cur, assign, _best, it, _changed, log = carry
+        _c_used, c_cur, assign, _best, it, _changed, log, bs = carry
+        bestch, stale = bs
         c_adj, assign2, best2, changed2 = _assign_update_pass(
             x, x_sq, valid, assign, c_cur, n_clusters=n_clusters,
             metric=metric, chunk=chunk, axis_name=axis_name,
             use_pallas=use_pallas, interpret=interpret)
         log = log.at[it].set(changed2)
-        return (c_cur, c_adj, assign2, best2, it + 1, changed2, log)
+        mark2, stale2 = _stagnation_update(changed2, bestch, stale)
+        return (c_cur, c_adj, assign2, best2, it + 1, changed2, log,
+                (mark2, stale2))
 
     nl = x.shape[0]
     # only the per-shard components (assign, best) are device-varying; the
@@ -300,7 +322,8 @@ def lloyd_run(x, x_sq, valid, prev_assign, centroids, tol_count,
         (prev_assign, jnp.zeros((nl,), jnp.float32)), axis_name)
     init = (centroids, centroids, assign0, best0, jnp.int32(0),
             jnp.int32(jnp.iinfo(jnp.int32).max),
-            jnp.zeros((LOG_CAPACITY,), jnp.int32))
-    c_used, _c_next, assign, best, it, _changed, log = lax.while_loop(
+            jnp.zeros((LOG_CAPACITY,), jnp.int32),
+            (jnp.int32(jnp.iinfo(jnp.int32).max), jnp.int32(0)))
+    c_used, c_next, assign, best, it, _changed, log, _bs = lax.while_loop(
         cond, body, init)
-    return c_used, assign, best, it, log
+    return c_used, c_next, assign, best, it, log

@@ -69,7 +69,8 @@ from jax import lax
 from kmcuda_tpu import config
 from kmcuda_tpu.ops import compact as C
 from kmcuda_tpu.ops import distance as D
-from kmcuda_tpu.ops.assign import LOG_CAPACITY, _mark_varying, pad_clusters
+from kmcuda_tpu.ops.assign import (LOG_CAPACITY, _mark_varying,
+                                   _stagnation_update, pad_clusters)
 
 
 def exact_drift(c_new, c_old, metric):
@@ -92,7 +93,8 @@ def exact_drift(c_new, c_old, metric):
     static_argnames=("n_clusters", "groups", "group_cap", "metric", "chunk",
                      "axis_name", "debug_mode", "bounds_dtype"))
 def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
-           pad_src, pad_pen, flat_slot, tol_count, max_iterations, *,
+           pad_src, pad_pen, flat_slot, u0, l0, tol_count, max_iterations,
+           patience, resume, *,
            n_clusters: int, groups: int, group_cap: int,
            metric: D.DistanceMetric, chunk: int, axis_name=None,
            debug_mode: int = 0, bounds_dtype=jnp.float32):
@@ -103,9 +105,14 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
     flat_slot: (K+1,) int32 — flat panel slot (g * P + j) of each centroid;
                entry K (the invalid marker) may be any slot, it is never
                read for a row whose bounds matter.
+    u0/l0:     per-sample bounds.  Fresh start: zeros + resume=False (the
+               first iteration force-refreshes every bound).  Segment
+               resume: the previous segment's returned (u, l) +
+               resume=True — bitwise-exact continuation (the host driver
+               bounds each device dispatch, models/lloyd._SegmentDriver).
 
     Returns (centroids_used, assign, iterations, changed_log, passed_log,
-    cand_log).
+    cand_log, u, l, sums, counts).
     """
     k, g, p = n_clusters, groups, group_cap
     centroids0 = centroids0.astype(jnp.float32)
@@ -157,15 +164,18 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
 
     def cond(carry):
         it, changed = carry[5], carry[6]
-        return (it == 0) | ((changed > tol_count) & (it < max_iterations))
+        _bestch, stale = carry[10][6], carry[10][7]
+        return (it == 0) | ((changed > tol_count) & (it < max_iterations)
+                            & (stale < patience))
 
 
     def body(carry):
         (c_cur, assign, u, l, sc, it, _changed, log_ch,
          log_pa, log_ca, (refresh_in, period, tskip_in, tperiod,
-                          prev_cand, refreshed_prev)) = carry
+                          prev_cand, refreshed_prev, bestch,
+                          stale)) = carry
         sums, counts = sc
-        first = it == 0
+        first = (it == 0) & jnp.logical_not(resume)
         c_new = D.normalize_centroids(
             sums, counts.astype(jnp.float32), metric)
         drift = exact_drift(c_new, c_cur, metric)
@@ -580,22 +590,24 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
         log_ch = log_ch.at[it].set(changed2)
         log_pa = log_pa.at[it].set(passed_n)
         log_ca = log_ca.at[it].set(n_cand_all)
+        mark2, stale2 = _stagnation_update(changed2, bestch, stale)
         return (c_new, assign2, u4, l4,
                 (sums + d_sums, counts + d_counts), it + 1, changed2,
                 log_ch, log_pa, log_ca,
                 (refresh_in2, period2, tskip_in2, tperiod2,
-                 n_cand_all, mode_refresh))
+                 n_cand_all, mode_refresh, mark2, stale2))
 
     assign0, u0, l0 = _mark_varying(
-        (assign0, jnp.zeros((nl,), jnp.float32),
-         jnp.zeros((nl, g), bounds_dtype)), axis_name)
+        (assign0, u0, l0.astype(bounds_dtype)), axis_name)
     init = (centroids0, assign0, u0, l0, (sums0, counts0),
             jnp.int32(0), jnp.int32(jnp.iinfo(jnp.int32).max),
             jnp.zeros((LOG_CAPACITY,), jnp.int32),
             jnp.zeros((LOG_CAPACITY,), jnp.int32),
             jnp.zeros((LOG_CAPACITY,), jnp.int32),
             (jnp.int32(0), jnp.int32(1), jnp.int32(0), jnp.int32(1),
-             jnp.int32(0), jnp.bool_(False)))
-    (c_cur, assign, u_fin, l_fin, _sc, it, _changed, log_ch, log_pa,
-     log_ca, _rb) = lax.while_loop(cond, body, init)
-    return c_cur, assign, it, log_ch, log_pa, log_ca, u_fin, l_fin
+             jnp.int32(0), jnp.bool_(False),
+             jnp.int32(jnp.iinfo(jnp.int32).max), jnp.int32(0)))
+    (c_cur, assign, u_fin, l_fin, (sums_fin, counts_fin), it, _changed,
+     log_ch, log_pa, log_ca, _rb) = lax.while_loop(cond, body, init)
+    return (c_cur, assign, it, log_ch, log_pa, log_ca, u_fin, l_fin,
+            sums_fin, counts_fin)

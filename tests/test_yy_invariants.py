@@ -91,8 +91,13 @@ def test_bound_invariants(tight):
                p.topo.put_replicated(jnp.asarray(pad_src)),
                p.topo.put_replicated(jnp.asarray(pad_pen)),
                p.topo.put_replicated(jnp.asarray(flat_slot)),
-               jnp.int32(-1), jnp.int32(6))
-    c_fin, assign, _it2, _lch, _lpa, _lca, u_fin, l_fin = out
+               p.topo.put_sharded(jnp.zeros((p.n_pad,), jnp.float32)),
+               p.topo.put_sharded(
+                   jnp.zeros((p.n_pad, groups), jnp.float32)),
+               jnp.int32(-1), jnp.int32(6), jnp.int32(50),
+               jnp.bool_(False))
+    (c_fin, assign, _it2, _lch, _lpa, _lca, u_fin, l_fin, _sums,
+     _counts) = out
     c_fin = np.asarray(c_fin).astype(np.float64)
     assign = np.asarray(assign)[:n]
     u = np.asarray(u_fin)[:n]
@@ -166,3 +171,43 @@ def test_scheduling_knobs_never_change_results(tight, knobs, monkeypatch):
         assert np.array_equal(ref_c, np.asarray(yc), equal_nan=True)
     finally:
         Y._build_yy_run.cache_clear()
+
+
+def test_stagnation_stop(tight, monkeypatch, capsys):
+    """With patience=1 the loop must stop at the first iteration that
+    fails to improve the running-best reassignment count (the guard that
+    keeps reduced-precision churn floors from running to the iteration
+    cap), and say so."""
+    from kmcuda_tpu import config
+
+    x, k = tight
+    monkeypatch.setattr(config, "STAGNATION_PATIENCE", 1)
+    kmeans_tpu(x, k, init="random", seed=5, tolerance=0.0,
+               max_iterations=200, yinyang_t=0, verbosity=1)
+    out = capsys.readouterr().out
+    counts = [int(l.split(": ")[1].split()[0])
+              for l in out.splitlines() if l.startswith("iteration")]
+    assert 1 < len(counts) < 200
+    # every iteration but the last meaningfully (>= mark/64) improved the
+    # running mark; the last one failed to, which is what stopped the run
+    mark = counts[0]
+    for c in counts[1:-1]:
+        assert c < mark - (mark >> 6)
+        mark = c
+    assert counts[-1] >= mark - (mark >> 6) and counts[-1] > 0
+    assert "stagnated" in out
+
+
+def test_segment_length_invariant(tight, monkeypatch):
+    """The host-level segmentation of the convergence loops (bounded
+    device dispatches) must not change results: resume state is exact."""
+    from kmcuda_tpu import config
+
+    x, k = tight
+    rc, ra = kmeans_tpu(x, k, init="random", seed=5, tolerance=0.0,
+                        max_iterations=40, yinyang_t=0.1)
+    monkeypatch.setattr(config, "LOOP_SEGMENT_ITERATIONS", 3)
+    sc, sa = kmeans_tpu(x, k, init="random", seed=5, tolerance=0.0,
+                        max_iterations=40, yinyang_t=0.1)
+    assert np.array_equal(np.asarray(ra), np.asarray(sa))
+    assert np.array_equal(np.asarray(rc), np.asarray(sc), equal_nan=True)
