@@ -51,7 +51,7 @@ def _build_run(mesh, n_clusters, metric, chunk, use_pallas=False):
     mapped = jax.shard_map(
         fn, mesh=mesh,
         in_specs=(P(AXIS, None), P(AXIS), P(AXIS), P(AXIS), P(None, None),
-                  P(), P(), P()),
+                  P(None)),
         out_specs=(P(None, None), P(None, None), P(AXIS), P(AXIS), P(),
                    P()))
     return jax.jit(mapped, donate_argnums=(3,))
@@ -66,7 +66,7 @@ def _build_run_incremental(mesh, n_clusters, metric, chunk):
     mapped = jax.shard_map(
         fn, mesh=mesh,
         in_specs=(P(AXIS, None), P(AXIS), P(AXIS), P(AXIS), P(None, None),
-                  P(None, None), P(None), P(), P(), P()),
+                  P(None, None), P(None), P(None)),
         out_specs=(P(None, None), P(None, None), P(AXIS), P(AXIS),
                    P(None, None), P(None), P(), P()))
     return jax.jit(mapped, donate_argnums=(3,))
@@ -144,14 +144,15 @@ def run_incremental(problem, centroids, assignments, tolerance,
         sums = p.topo.put_replicated(
             jnp.zeros((p.k, p.features), jnp.float32))
         counts = p.topo.put_replicated(jnp.zeros((p.k,), jnp.int32))
-    tol_count = jnp.int32(int(tolerance * p.n))
-    drv = _SegmentDriver(p.logger, int(tol_count), max_iterations,
-                         iter_offset)
-    patience = jnp.int32(config.STAGNATION_PATIENCE)
+    tol_count = int(tolerance * p.n)
+    drv = _SegmentDriver(p.logger, tol_count, max_iterations, iter_offset)
     while True:
+        limits = jnp.asarray(
+            [tol_count, drv.next_segment(),
+             config.STAGNATION_PATIENCE], jnp.int32)
         c_used, c_next, assignments, _best, sums, counts, it, log = run_fn(
             p.x, p.x_sq, p.valid, assignments, centroids, sums, counts,
-            tol_count, jnp.int32(drv.next_segment()), patience)
+            limits)
         it, log = jax.device_get((it, log))
         if not drv.absorb(it, log):
             break
@@ -230,16 +231,16 @@ def run(problem, centroids, assignments, tolerance, max_iterations=None,
     # the Pallas tile needs sample counts in multiples of 1024
     use_pallas = use_pallas and p.n_pad % 1024 == 0 and p.chunk % 128 == 0
     run_fn = _build_run(p.topo.mesh, p.k, p.metric, p.chunk, use_pallas)
-    tol_count = jnp.int32(int(tolerance * p.n))
+    tol_count = int(tolerance * p.n)
     # segmented on-device loop: one readback per segment; the reference's
     # per-iteration progress lines replay from each segment's log
-    drv = _SegmentDriver(p.logger, int(tol_count), max_iterations,
-                         iter_offset)
-    patience = jnp.int32(config.STAGNATION_PATIENCE)
+    drv = _SegmentDriver(p.logger, tol_count, max_iterations, iter_offset)
     while True:
+        limits = jnp.asarray(
+            [tol_count, drv.next_segment(),
+             config.STAGNATION_PATIENCE], jnp.int32)
         c_used, c_next, assignments, best, it, log = run_fn(
-            p.x, p.x_sq, p.valid, assignments, centroids, tol_count,
-            jnp.int32(drv.next_segment()), patience)
+            p.x, p.x_sq, p.valid, assignments, centroids, limits)
         it, log = jax.device_get((it, log))
         if not drv.absorb(it, log):
             break

@@ -45,7 +45,7 @@ def _build_yy_run(mesh, n_clusters, groups, group_cap, metric, chunk,
         fn, mesh=mesh,
         in_specs=(P(AXIS, None), P(AXIS), P(AXIS), P(AXIS), P(None, None),
                   P(None, None), P(None), P(None, None), P(None, None),
-                  P(None), P(AXIS), P(AXIS, None), P(), P(), P(), P()),
+                  P(None), P(AXIS), P(AXIS, None), P(None)),
         out_specs=(P(None, None), P(AXIS), P(), P(), P(), P(),
                    P(AXIS), P(AXIS, None), P(None, None), P(None)))
     return jax.jit(mapped, donate_argnums=(3, 10, 11))
@@ -78,10 +78,10 @@ def _group_kmeans(c_in, key, tol_count, *, groups, metric, chunk):
                            key, k=groups, metric=metric)
     prev = jnp.full((kp,), groups, jnp.uint32)
     g_cent, _g_next, g_assign, _best, _it, _log = A.lloyd_run(
-        x, x_sq, valid, prev, c0, tol_count,
-        jnp.int32(config.DEFAULT_MAX_ITERATIONS),
-        jnp.int32(config.STAGNATION_PATIENCE), n_clusters=groups,
-        metric=metric, chunk=chunk, axis_name=None)
+        x, x_sq, valid, prev, c0,
+        jnp.stack([tol_count, jnp.int32(config.DEFAULT_MAX_ITERATIONS),
+                   jnp.int32(config.STAGNATION_PATIENCE)]),
+        n_clusters=groups, metric=metric, chunk=chunk, axis_name=None)
     dists = D.pairwise_distance(x, g_cent, metric)
     dists = jnp.where(jnp.isfinite(dists), dists, jnp.inf)
     _nd, prefs = lax.top_k(-dists, min(8, groups))
@@ -198,26 +198,27 @@ def run(problem, centroids, assignments, tolerance, groups,
     run_fn = _build_yy_run(p.topo.mesh, p.k, groups, cap, p.metric,
                            p.chunk, debug_mode=config.YY_DEBUG_MODE,
                            bounds_dtype=bounds_dtype)
-    tol_count = jnp.int32(int(tolerance * p.n))
+    tol_count = int(tolerance * p.n)
     pad_src_d = p.topo.put_replicated(jnp.asarray(pad_src))
     pad_pen_d = p.topo.put_replicated(jnp.asarray(pad_pen))
     flat_slot_d = p.topo.put_replicated(jnp.asarray(flat_slot))
     u = p.topo.put_sharded(jnp.zeros((p.n_pad,), jnp.float32))
     l = p.topo.put_sharded(jnp.zeros((p.n_pad, groups), bounds_dtype))
-    patience = jnp.int32(config.STAGNATION_PATIENCE)
     # segmented device loop (bounded dispatches, live progress, exact
     # (u, l, sums, counts, centroids) carryover between segments)
     drv = L._SegmentDriver(
-        p.logger, int(tol_count),
+        p.logger, tol_count,
         max(1, min(max_iterations, config.DEFAULT_MAX_ITERATIONS) - it0),
         iter_offset=it0)
-    resume = jnp.bool_(False)
+    resume = 0
     while True:
+        limits = jnp.asarray(
+            [tol_count, drv.next_segment(),
+             config.STAGNATION_PATIENCE, resume], jnp.int32)
         (c_fin, assignments, it, log_ch, log_pa, log_ca, u, l, sums,
          counts) = run_fn(
             p.x, p.x_sq, p.valid, assignments, centroids, sums, counts,
-            pad_src_d, pad_pen_d, flat_slot_d, u, l,
-            tol_count, jnp.int32(drv.next_segment()), patience, resume)
+            pad_src_d, pad_pen_d, flat_slot_d, u, l, limits)
         it, log_ch, log_pa, log_ca = jax.device_get(
             (it, log_ch, log_pa, log_ca))
 
@@ -229,6 +230,6 @@ def run(problem, centroids, assignments, tolerance, groups,
         if not drv.absorb(it, log_ch, extra=_dbg):
             break
         centroids = c_fin
-        resume = jnp.bool_(True)
+        resume = 1
     drv.finish()
     return c_fin, assignments, None, it0 + drv.done

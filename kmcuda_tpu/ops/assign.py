@@ -178,7 +178,7 @@ def _stagnation_update(changed2, mark, stale):
     jax.jit,
     static_argnames=("n_clusters", "metric", "chunk", "axis_name"))
 def lloyd_run_incremental(x, x_sq, valid, prev_assign, centroids, sums,
-                          counts, tol_count, max_iterations, patience, *,
+                          counts, limits, *,
                           n_clusters: int, metric: D.DistanceMetric,
                           chunk: int, axis_name=None):
     """On-device Lloyd loop with *incremental* centroid updates.
@@ -203,6 +203,11 @@ def lloyd_run_incremental(x, x_sq, valid, prev_assign, centroids, sums,
     k = n_clusters
 
     centroids = centroids.astype(jnp.float32)
+    # limits: int32[3] = (tol_count, max_iterations, patience) packed in
+    # ONE array — each separate scalar argument costs a host->device
+    # transfer round trip per call, which dominates short runs over a
+    # slow link
+    tol_count, max_iterations, patience = limits[0], limits[1], limits[2]
 
     def cond(carry):
         it, changed, (_bestch, stale) = carry[6], carry[7], carry[9]
@@ -276,8 +281,8 @@ def lloyd_step(x, x_sq, valid, prev_assign, centroids, *,
     jax.jit,
     static_argnames=("n_clusters", "metric", "chunk", "axis_name",
                      "use_pallas", "interpret"))
-def lloyd_run(x, x_sq, valid, prev_assign, centroids, tol_count,
-              max_iterations, patience, *, n_clusters: int,
+def lloyd_run(x, x_sq, valid, prev_assign, centroids, limits, *,
+              n_clusters: int,
               metric: D.DistanceMetric, chunk: int, axis_name=None,
               use_pallas=False, interpret=False):
     """Run Lloyd to convergence entirely on device.
@@ -296,6 +301,11 @@ def lloyd_run(x, x_sq, valid, prev_assign, centroids, tol_count,
     re-adjusting); ``centroids_next`` resumes a segmented run exactly.
     """
     centroids = centroids.astype(jnp.float32)
+    # limits: int32[3] = (tol_count, max_iterations, patience) packed in
+    # ONE array — each separate scalar argument costs a host->device
+    # transfer round trip per call, which dominates short runs over a
+    # slow link
+    tol_count, max_iterations, patience = limits[0], limits[1], limits[2]
 
     def cond(carry):
         (_c_used, _c_next, _assign, _best, it, changed, _log,

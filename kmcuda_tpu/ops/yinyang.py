@@ -93,8 +93,7 @@ def exact_drift(c_new, c_old, metric):
     static_argnames=("n_clusters", "groups", "group_cap", "metric", "chunk",
                      "axis_name", "debug_mode", "bounds_dtype"))
 def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
-           pad_src, pad_pen, flat_slot, u0, l0, tol_count, max_iterations,
-           patience, resume, *,
+           pad_src, pad_pen, flat_slot, u0, l0, limits, *,
            n_clusters: int, groups: int, group_cap: int,
            metric: D.DistanceMetric, chunk: int, axis_name=None,
            debug_mode: int = 0, bounds_dtype=jnp.float32):
@@ -105,15 +104,19 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
     flat_slot: (K+1,) int32 — flat panel slot (g * P + j) of each centroid;
                entry K (the invalid marker) may be any slot, it is never
                read for a row whose bounds matter.
-    u0/l0:     per-sample bounds.  Fresh start: zeros + resume=False (the
+    u0/l0:     per-sample bounds.  Fresh start: zeros + resume=0 (the
                first iteration force-refreshes every bound).  Segment
                resume: the previous segment's returned (u, l) +
-               resume=True — bitwise-exact continuation (the host driver
+               resume=1 — bitwise-exact continuation (the host driver
                bounds each device dispatch, models/lloyd._SegmentDriver).
+    limits:    int32[4] = (tol_count, max_iterations, patience, resume)
+               packed in one array (single transfer per segment call).
 
     Returns (centroids_used, assign, iterations, changed_log, passed_log,
     cand_log, u, l, sums, counts).
     """
+    tol_count, max_iterations = limits[0], limits[1]
+    patience, resume = limits[2], limits[3] != 0
     k, g, p = n_clusters, groups, group_cap
     centroids0 = centroids0.astype(jnp.float32)
     sums0 = sums0.astype(jnp.float32)

@@ -94,8 +94,7 @@ def test_bound_invariants(tight):
                p.topo.put_sharded(jnp.zeros((p.n_pad,), jnp.float32)),
                p.topo.put_sharded(
                    jnp.zeros((p.n_pad, groups), jnp.float32)),
-               jnp.int32(-1), jnp.int32(6), jnp.int32(50),
-               jnp.bool_(False))
+               jnp.asarray([-1, 6, 50, 0], jnp.int32))
     (c_fin, assign, _it2, _lch, _lpa, _lca, u_fin, l_fin, _sums,
      _counts) = out
     c_fin = np.asarray(c_fin).astype(np.float64)
