@@ -272,3 +272,42 @@ class TestEdges:
 
 
 GOLDEN_AVG_DISTANCE = 0.1821749
+
+
+def test_device_input_not_mutated(samples):
+    """A device-resident input must come back bit-exact unless the caller
+    opted into donation — the analog of the reference's check that the
+    internal transpose round-trip restores the caller's GPU buffer
+    (test.py:374-399; here there is no transpose, but donation and
+    padding paths must never touch the original)."""
+    import jax
+    import jax.numpy as jnp
+
+    x_dev = jax.device_put(jnp.asarray(samples))
+    before = np.asarray(x_dev).copy()
+    c, a = kmeans_tpu(x_dev, 50, seed=3, tolerance=0.01, yinyang_t=0.1)
+    assert isinstance(c, jax.Array) and isinstance(a, jax.Array)
+    assert np.array_equal(np.asarray(x_dev), before)
+
+
+def test_donated_input_is_consumed():
+    """donate=True hands the buffer to the library (the peak-HBM saver
+    for near-chip-sized data): a pad-aligned, correctly-sharded input is
+    reused in place and the caller's array is invalidated.  (Through the
+    public API the same holds when no resharding/padding copy intervenes
+    — i.e. exactly when donation can save memory at all.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from kmcuda_tpu.models.problem import prepare
+    from kmcuda_tpu.ops.distance import DistanceMetric
+    from kmcuda_tpu.parallel.mesh import Topology
+    from kmcuda_tpu.utils.logging import Logger
+
+    topo = Topology(tuple(jax.devices()))
+    rng = np.random.RandomState(3)
+    x_dev = jax.device_put(jnp.asarray(rng.rand(16384, 8), jnp.float32),
+                           topo.sharded(2))
+    prepare(x_dev, 50, DistanceMetric.L2, topo, Logger(0), donate=True)
+    with pytest.raises(RuntimeError):
+        np.asarray(x_dev)
