@@ -192,7 +192,5 @@ def knn_tpu(k, samples, centroids, assignments, metric="L2", device=0,
                         if not isinstance(centroids, jax.Array)
                         else centroids, jnp.float32)
     nbr, _dist = KNN.run(problem, cents, a_pad, k)
-    out = _export(nbr[:n], samples)
-    if not isinstance(out, jax.Array):
-        out = out.astype(np.uint32)
-    return out
+    # uint32 either way, like the reference (python.cc:286-313)
+    return _export(nbr[:n].astype(jnp.uint32), samples)

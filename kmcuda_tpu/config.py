@@ -51,7 +51,11 @@ DEFAULT_MAX_ITERATIONS = 65535
 #: hours of no progress (the reference, with no cap at all, would spin
 #: forever, README.md:119-122 only warns fp16 "needs more iterations").
 #: Generous on purpose: any genuinely converging run sets a new best long
-#: before 50 stale iterations.
+#: before 50 stale iterations.  This stop is an intentional divergence
+#: from the reference (which would spin forever); set to None to disable
+#: it and run to the tolerance or the iteration cap.  The (mark, stale)
+#: counters are part of the device loop's resume state, so the stopping
+#: iteration does not depend on LOOP_SEGMENT_ITERATIONS.
 STAGNATION_PATIENCE = 50
 
 #: Iterations per device dispatch of the convergence loops.  The on-device
@@ -59,9 +63,11 @@ STAGNATION_PATIENCE = 50
 #: check_changed, kmeans.cu:697-717), but an UNBOUNDED single dispatch is
 #: fragile — runtime watchdogs kill multi-minute programs, and the user
 #: sees no progress.  Segmenting costs one host round-trip per this many
-#: iterations, streams the ``iteration N:`` lines live per segment, and
-#: gives the host a backstop stagnation check.  Results are bitwise
-#: independent of the segment length (resume state is exact).
+#: iterations and streams the ``iteration N:`` lines live per segment.
+#: Results AND the stopping iteration are bitwise independent of the
+#: segment length: all resume state — centroids, bounds, accumulation
+#: sums, and the stagnation (mark, stale) counters — round-trips through
+#: the device loop exactly.
 LOOP_SEGMENT_ITERATIONS = 256
 
 # ---- size limits (mirroring the reference's uint32 layout constraints,

@@ -53,7 +53,7 @@ def _build_run(mesh, n_clusters, metric, chunk, use_pallas=False):
         in_specs=(P(AXIS, None), P(AXIS), P(AXIS), P(AXIS), P(None, None),
                   P(None)),
         out_specs=(P(None, None), P(None, None), P(AXIS), P(AXIS), P(),
-                   P()))
+                   P(), P(None)))
     return jax.jit(mapped, donate_argnums=(3,))
 
 
@@ -68,17 +68,25 @@ def _build_run_incremental(mesh, n_clusters, metric, chunk):
         in_specs=(P(AXIS, None), P(AXIS), P(AXIS), P(AXIS), P(None, None),
                   P(None, None), P(None), P(None)),
         out_specs=(P(None, None), P(None, None), P(AXIS), P(AXIS),
-                   P(None, None), P(None), P(), P()))
+                   P(None, None), P(None), P(), P(), P(None)))
     return jax.jit(mapped, donate_argnums=(3,))
 
+
+
+def _patience() -> int:
+    """Effective stagnation patience: STAGNATION_PATIENCE=None disables
+    the stop entirely (run to tolerance or the iteration cap, like the
+    reference, which has no stagnation machinery at all)."""
+    p = config.STAGNATION_PATIENCE
+    return int(np.iinfo(np.int32).max) if p is None else int(p)
 
 
 class _SegmentDriver:
     """Host-side driver state for a segmented convergence loop: streams
     the per-iteration log lines live, tracks the iteration budget, and
-    applies the cross-segment stagnation backstop (same 1/64 meaningful-
-    improvement rule as the in-device patience — a churn floor that only
-    creeps between segments still terminates)."""
+    round-trips the device stagnation counters (mark, stale) between
+    segments so the stopping iteration is bitwise independent of
+    LOOP_SEGMENT_ITERATIONS."""
 
     def __init__(self, logger, tol_count, max_iterations, iter_offset=0):
         self.logger = logger
@@ -86,17 +94,26 @@ class _SegmentDriver:
         self.cap = int(max_iterations)
         self.offset = iter_offset
         self.done = 0
-        self.mark = None
         self.last = 0
         self.stagnated = False
+        # (mark, stale) resume state for ops.assign._stagnation_update
+        self.stag = (int(np.iinfo(np.int32).max), 0)
 
     def next_segment(self):
         return min(config.LOOP_SEGMENT_ITERATIONS, self.cap - self.done)
 
-    def absorb(self, it, changed_log, extra=None):
-        """Log a finished segment; True = keep iterating.  ``extra(i)``
-        runs after each iteration line (e.g. Yinyang's candidate-count
-        debug lines)."""
+    def limits(self, tol_count, *tail) -> jax.Array:
+        """Pack (tol, next_segment, patience, mark, stale, *tail) for the
+        device loop — one int32 array, one transfer per segment."""
+        return jnp.asarray(
+            [tol_count, self.next_segment(), _patience(), *self.stag,
+             *tail], jnp.int32)
+
+    def absorb(self, it, changed_log, stag, extra=None):
+        """Log a finished segment; True = keep iterating.  ``stag`` is the
+        device loop's returned (mark, stale) pair; ``extra(i)`` runs after
+        each iteration line (e.g. Yinyang's candidate-count debug
+        lines)."""
         seg_req = self.next_segment()
         it = int(it)
         log = changed_log[:it].tolist()
@@ -106,16 +123,18 @@ class _SegmentDriver:
                 extra(i)
         self.done += it
         self.last = log[-1] if log else 0
+        self.stag = (int(stag[0]), int(stag[1]))
         if not log or self.last <= self.tol or self.done >= self.cap:
+            return False
+        if self.stag[1] >= _patience():
+            # the patience tripped ON the segment boundary: the device
+            # cond's it==0 override would run one extra iteration next
+            # segment, so the boundary check must live here
+            self.stagnated = True
             return False
         if it < seg_req:
             self.stagnated = True   # the device patience tripped
             return False
-        seg_min = min(log)
-        if self.mark is not None and seg_min >= self.mark - (self.mark >> 6):
-            self.stagnated = True
-            return False
-        self.mark = seg_min if self.mark is None else min(self.mark, seg_min)
         return True
 
     def finish(self):
@@ -147,14 +166,12 @@ def run_incremental(problem, centroids, assignments, tolerance,
     tol_count = int(tolerance * p.n)
     drv = _SegmentDriver(p.logger, tol_count, max_iterations, iter_offset)
     while True:
-        limits = jnp.asarray(
-            [tol_count, drv.next_segment(),
-             config.STAGNATION_PATIENCE], jnp.int32)
-        c_used, c_next, assignments, _best, sums, counts, it, log = run_fn(
+        (c_used, c_next, assignments, _best, sums, counts, it, log,
+         stag) = run_fn(
             p.x, p.x_sq, p.valid, assignments, centroids, sums, counts,
-            limits)
-        it, log = jax.device_get((it, log))
-        if not drv.absorb(it, log):
+            drv.limits(tol_count))
+        it, log, stag = jax.device_get((it, log, stag))
+        if not drv.absorb(it, log, stag):
             break
         centroids = c_next
     drv.finish()
@@ -236,13 +253,11 @@ def run(problem, centroids, assignments, tolerance, max_iterations=None,
     # per-iteration progress lines replay from each segment's log
     drv = _SegmentDriver(p.logger, tol_count, max_iterations, iter_offset)
     while True:
-        limits = jnp.asarray(
-            [tol_count, drv.next_segment(),
-             config.STAGNATION_PATIENCE], jnp.int32)
-        c_used, c_next, assignments, best, it, log = run_fn(
-            p.x, p.x_sq, p.valid, assignments, centroids, limits)
-        it, log = jax.device_get((it, log))
-        if not drv.absorb(it, log):
+        c_used, c_next, assignments, best, it, log, stag = run_fn(
+            p.x, p.x_sq, p.valid, assignments, centroids,
+            drv.limits(tol_count))
+        it, log, stag = jax.device_get((it, log, stag))
+        if not drv.absorb(it, log, stag):
             break
         centroids = c_next
     drv.finish()

@@ -71,6 +71,18 @@ _clean_donate = jax.jit(_clean_impl, static_argnames=("n", "k", "dtype"),
                         donate_argnums=(0,))
 
 
+def _already_sharded(arr, target) -> bool:
+    """True when a device array already has the target layout, i.e.
+    ``device_put`` would not produce a resharding copy."""
+    sharding = getattr(arr, "sharding", None)
+    if sharding is None:
+        return False
+    try:
+        return sharding.is_equivalent_to(target, arr.ndim)
+    except Exception:
+        return False
+
+
 def storage_dtype_for(samples_dtype) -> object:
     """fp16/bf16 input selects bf16 storage (the reference's fp16x2 mode,
     but without halving features — no packing needed on TPU); everything
@@ -114,7 +126,21 @@ def prepare(samples, k: int, metric: DistanceMetric, topo: Topology,
         else:
             x_pad = arr
         donate = True  # the device staging copy is ours to consume
-    x_pad = jax.device_put(x_pad, topo.sharded(2))
+    target = topo.sharded(2)
+    if not donate and _already_sharded(x_pad, target):
+        # pad-aligned device input already laid out right: no staging copy
+        # exists, and _clean must not consume the caller's buffer
+        pass
+    else:
+        staged = jax.device_put(x_pad, target)
+        if staged is not x_pad:
+            # device_put made a resharding copy that is library-owned —
+            # consume it, or both it and the cleaned copy stay live and
+            # peak HBM doubles in exactly the near-HBM regime donation
+            # targets.  (When donate was already True the caller's buffer
+            # is ours by contract either way.)
+            donate = True
+        x_pad = staged
 
     clean = _clean_donate if donate else _clean
     x, x_sq, valid, assign0, n_valid = clean(x_pad, n=n, k=k, dtype=dtype)

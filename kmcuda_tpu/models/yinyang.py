@@ -47,7 +47,8 @@ def _build_yy_run(mesh, n_clusters, groups, group_cap, metric, chunk,
                   P(None, None), P(None), P(None, None), P(None, None),
                   P(None), P(AXIS), P(AXIS, None), P(None)),
         out_specs=(P(None, None), P(AXIS), P(), P(), P(), P(),
-                   P(AXIS), P(AXIS, None), P(None, None), P(None)))
+                   P(AXIS), P(AXIS, None), P(None, None), P(None),
+                   P(None)))
     return jax.jit(mapped, donate_argnums=(3, 10, 11))
 
 
@@ -77,10 +78,11 @@ def _group_kmeans(c_in, key, tol_count, *, groups, metric, chunk):
     c0 = I._init_plus_plus(x, x_sq, valid, jnp.sum(valid, dtype=jnp.int32),
                            key, k=groups, metric=metric)
     prev = jnp.full((kp,), groups, jnp.uint32)
-    g_cent, _g_next, g_assign, _best, _it, _log = A.lloyd_run(
+    imax = jnp.int32(jnp.iinfo(jnp.int32).max)
+    g_cent, _g_next, g_assign, _best, _it, _log, _stag = A.lloyd_run(
         x, x_sq, valid, prev, c0,
         jnp.stack([tol_count, jnp.int32(config.DEFAULT_MAX_ITERATIONS),
-                   jnp.int32(config.STAGNATION_PATIENCE)]),
+                   jnp.int32(L._patience()), imax, jnp.int32(0)]),
         n_clusters=groups, metric=metric, chunk=chunk, axis_name=None)
     dists = D.pairwise_distance(x, g_cent, metric)
     dists = jnp.where(jnp.isfinite(dists), dists, jnp.inf)
@@ -118,6 +120,15 @@ def _group_centroids(problem, centroids, groups, key):
     # for 1.15 + round-to-2 with no observable filter degradation
     cap = max(2, int(np.ceil(1.15 * k / groups)))
     cap = int(-(-cap // 2) * 2)  # stabilize jit cache across runs
+    # the local filter looks flat slots up via an fp32 one-hot matvec
+    # (ops.yinyang, flat_slot_f): slot ids must be exact in fp32, or the
+    # own-slot exclusion silently penalizes the wrong panel slot and the
+    # global filter stops pruning (results stay correct, speed does not).
+    # G * cap ~ 1.15 k, so this only trips beyond k ~ 14.6M clusters.
+    assert groups * cap < 2 ** 24, (
+        "yinyang flat slot ids (%d) exceed fp32 exact-integer range; "
+        "run with yinyang_t=0 (Lloyd) at this cluster count"
+        % (groups * cap))
     sizes = np.zeros(groups, dtype=np.int64)
     members: list[list[int]] = [[] for _ in range(groups)]
     # first pass: keep everyone whose group has room (ascending index for
@@ -212,22 +223,20 @@ def run(problem, centroids, assignments, tolerance, groups,
         iter_offset=it0)
     resume = 0
     while True:
-        limits = jnp.asarray(
-            [tol_count, drv.next_segment(),
-             config.STAGNATION_PATIENCE, resume], jnp.int32)
         (c_fin, assignments, it, log_ch, log_pa, log_ca, u, l, sums,
-         counts) = run_fn(
+         counts, stag) = run_fn(
             p.x, p.x_sq, p.valid, assignments, centroids, sums, counts,
-            pad_src_d, pad_pen_d, flat_slot_d, u, l, limits)
-        it, log_ch, log_pa, log_ca = jax.device_get(
-            (it, log_ch, log_pa, log_ca))
+            pad_src_d, pad_pen_d, flat_slot_d, u, l,
+            drv.limits(tol_count, resume))
+        it, log_ch, log_pa, log_ca, stag = jax.device_get(
+            (it, log_ch, log_pa, log_ca, stag))
 
         def _dbg(i):
             p.logger.debug("yinyang: %d candidates, %d samples passed the "
                            "global filter"
                            % (int(log_ca[i]), int(log_pa[i])))
 
-        if not drv.absorb(it, log_ch, extra=_dbg):
+        if not drv.absorb(it, log_ch, stag, extra=_dbg):
             break
         centroids = c_fin
         resume = 1

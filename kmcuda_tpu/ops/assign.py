@@ -168,7 +168,11 @@ def _stagnation_update(changed2, mark, stale):
     it beats the mark by at least mark/64 (~1.6%).  A reduced-precision
     churn floor can CREEP downward a fraction of a percent per iteration
     indefinitely; creep slower than 1.6% per patience window is
-    stagnation, while genuine convergence tails improve far faster."""
+    stagnation, while genuine convergence tails improve far faster.
+
+    The (mark, stale) pair is part of the loop's resume state: segmented
+    drivers round-trip it through ``limits[3:5]`` so the stopping
+    iteration is independent of the segment length."""
     improved = changed2 < mark - (mark >> 6)
     return (jnp.where(improved, changed2, mark),
             jnp.where(improved, jnp.int32(0), stale + 1))
@@ -195,7 +199,8 @@ def lloyd_run_incremental(x, x_sq, valid, prev_assign, centroids, sums,
     first iteration's delta then equals the full segment-sum).
 
     Returns (centroids_used, centroids_next, assign, best, sums, counts,
-    iterations, changed_log); ``centroids_next`` resumes a segmented run
+    iterations, changed_log, stag); ``centroids_next`` and ``stag`` (the
+    int32[2] (mark, stale) stagnation counters) resume a segmented run
     exactly where this one stopped.
     """
     from kmcuda_tpu.ops import compact as C
@@ -203,10 +208,11 @@ def lloyd_run_incremental(x, x_sq, valid, prev_assign, centroids, sums,
     k = n_clusters
 
     centroids = centroids.astype(jnp.float32)
-    # limits: int32[3] = (tol_count, max_iterations, patience) packed in
-    # ONE array — each separate scalar argument costs a host->device
-    # transfer round trip per call, which dominates short runs over a
-    # slow link
+    # limits: int32[5] = (tol_count, max_iterations, patience, mark0,
+    # stale0) packed in ONE array — each separate scalar argument costs a
+    # host->device transfer round trip per call, which dominates short
+    # runs over a slow link.  (mark0, stale0) are the stagnation counters
+    # carried over from the previous segment (int32 max / 0 fresh).
     tol_count, max_iterations, patience = limits[0], limits[1], limits[2]
 
     def cond(carry):
@@ -243,10 +249,11 @@ def lloyd_run_incremental(x, x_sq, valid, prev_assign, centroids, sums,
     init = (centroids, centroids, assign0, best0, sums, counts,
             jnp.int32(0), jnp.int32(jnp.iinfo(jnp.int32).max),
             jnp.zeros((LOG_CAPACITY,), jnp.int32),
-            (jnp.int32(jnp.iinfo(jnp.int32).max), jnp.int32(0)))
+            (limits[3], limits[4]))
     (c_used, c_next, assign, best, sums, counts, it, _changed,
-     log, _bs) = lax.while_loop(cond, body, init)
-    return c_used, c_next, assign, best, sums, counts, it, log
+     log, bs) = lax.while_loop(cond, body, init)
+    return (c_used, c_next, assign, best, sums, counts, it, log,
+            jnp.stack(bs))
 
 
 @functools.partial(
@@ -296,15 +303,17 @@ def lloyd_run(x, x_sq, valid, prev_assign, centroids, limits, *,
     readback per *run* instead of per iteration.
 
     Returns (centroids_used, centroids_next, assign, best, iterations,
-    changed_log): ``centroids_used`` are the centroids the final
+    changed_log, stag): ``centroids_used`` are the centroids the final
     assignment was computed against (the reference also stops before
-    re-adjusting); ``centroids_next`` resumes a segmented run exactly.
+    re-adjusting); ``centroids_next`` and ``stag`` (the int32[2]
+    (mark, stale) stagnation counters) resume a segmented run exactly.
     """
     centroids = centroids.astype(jnp.float32)
-    # limits: int32[3] = (tol_count, max_iterations, patience) packed in
-    # ONE array — each separate scalar argument costs a host->device
-    # transfer round trip per call, which dominates short runs over a
-    # slow link
+    # limits: int32[5] = (tol_count, max_iterations, patience, mark0,
+    # stale0) packed in ONE array — each separate scalar argument costs a
+    # host->device transfer round trip per call, which dominates short
+    # runs over a slow link.  (mark0, stale0) resume the stagnation
+    # counters across segments (int32 max / 0 fresh).
     tol_count, max_iterations, patience = limits[0], limits[1], limits[2]
 
     def cond(carry):
@@ -333,7 +342,7 @@ def lloyd_run(x, x_sq, valid, prev_assign, centroids, limits, *,
     init = (centroids, centroids, assign0, best0, jnp.int32(0),
             jnp.int32(jnp.iinfo(jnp.int32).max),
             jnp.zeros((LOG_CAPACITY,), jnp.int32),
-            (jnp.int32(jnp.iinfo(jnp.int32).max), jnp.int32(0)))
-    c_used, c_next, assign, best, it, _changed, log, _bs = lax.while_loop(
+            (limits[3], limits[4]))
+    c_used, c_next, assign, best, it, _changed, log, bs = lax.while_loop(
         cond, body, init)
-    return c_used, c_next, assign, best, it, log
+    return c_used, c_next, assign, best, it, log, jnp.stack(bs)

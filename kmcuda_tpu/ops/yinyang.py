@@ -109,14 +109,17 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
                resume: the previous segment's returned (u, l) +
                resume=1 — bitwise-exact continuation (the host driver
                bounds each device dispatch, models/lloyd._SegmentDriver).
-    limits:    int32[4] = (tol_count, max_iterations, patience, resume)
-               packed in one array (single transfer per segment call).
+    limits:    int32[6] = (tol_count, max_iterations, patience, mark0,
+               stale0, resume) packed in one array (single transfer per
+               segment call); (mark0, stale0) resume the stagnation
+               counters across segments (int32 max / 0 fresh).
 
     Returns (centroids_used, assign, iterations, changed_log, passed_log,
-    cand_log, u, l, sums, counts).
+    cand_log, u, l, sums, counts, stag) — ``stag`` is the int32[2]
+    (mark, stale) stagnation state to feed the next segment.
     """
     tol_count, max_iterations = limits[0], limits[1]
-    patience, resume = limits[2], limits[3] != 0
+    patience, resume = limits[2], limits[5] != 0
     k, g, p = n_clusters, groups, group_cap
     centroids0 = centroids0.astype(jnp.float32)
     sums0 = sums0.astype(jnp.float32)
@@ -354,7 +357,8 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
             scatters cost O(candidates), worth it only when the global
             filter actually filters.
 
-            The tighten phase itself is adaptive (``flags[1]``): a tighten
+            The tighten phase itself is adaptive (``flags[2]``,
+            ``do_tighten``): a tighten
             row costs ~1/3 of a local-filter row, so it pays only when it
             prunes more than ~1/3 of the candidates.  When skipped, every
             candidate goes straight to the local filter and gets exact
@@ -609,8 +613,8 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
             jnp.zeros((LOG_CAPACITY,), jnp.int32),
             (jnp.int32(0), jnp.int32(1), jnp.int32(0), jnp.int32(1),
              jnp.int32(0), jnp.bool_(False),
-             jnp.int32(jnp.iinfo(jnp.int32).max), jnp.int32(0)))
+             limits[3], limits[4]))
     (c_cur, assign, u_fin, l_fin, (sums_fin, counts_fin), it, _changed,
-     log_ch, log_pa, log_ca, _rb) = lax.while_loop(cond, body, init)
+     log_ch, log_pa, log_ca, rb) = lax.while_loop(cond, body, init)
     return (c_cur, assign, it, log_ch, log_pa, log_ca, u_fin, l_fin,
-            sums_fin, counts_fin)
+            sums_fin, counts_fin, jnp.stack([rb[6], rb[7]]))

@@ -94,9 +94,10 @@ def test_bound_invariants(tight):
                p.topo.put_sharded(jnp.zeros((p.n_pad,), jnp.float32)),
                p.topo.put_sharded(
                    jnp.zeros((p.n_pad, groups), jnp.float32)),
-               jnp.asarray([-1, 6, 50, 0], jnp.int32))
+               jnp.asarray([-1, 6, 50, np.iinfo(np.int32).max, 0, 0],
+                           jnp.int32))
     (c_fin, assign, _it2, _lch, _lpa, _lca, u_fin, l_fin, _sums,
-     _counts) = out
+     _counts, _stag) = out
     c_fin = np.asarray(c_fin).astype(np.float64)
     assign = np.asarray(assign)[:n]
     u = np.asarray(u_fin)[:n]
@@ -208,5 +209,38 @@ def test_segment_length_invariant(tight, monkeypatch):
     monkeypatch.setattr(config, "LOOP_SEGMENT_ITERATIONS", 3)
     sc, sa = kmeans_tpu(x, k, init="random", seed=5, tolerance=0.0,
                         max_iterations=40, yinyang_t=0.1)
+    assert np.array_equal(np.asarray(ra), np.asarray(sa))
+    assert np.array_equal(np.asarray(rc), np.asarray(sc), equal_nan=True)
+
+
+def test_segment_length_invariant_with_stagnation(tight, monkeypatch,
+                                                  capsys):
+    """The stagnation stop must also be segment-invariant: the (mark,
+    stale) counters round-trip through the device loop, so a run that
+    stops by stagnation stops at the SAME iteration whether the segment
+    is longer or (the hard case) shorter than the patience window."""
+    from kmcuda_tpu import config
+
+    # bf16 storage (fp16 input) has a genuine churn floor, so the run
+    # plateaus instead of converging — exactly the regime the stop is for
+    x, k = tight
+    x = x.astype(np.float16)
+    monkeypatch.setattr(config, "STAGNATION_PATIENCE", 4)
+
+    def run_and_count():
+        c, a = kmeans_tpu(x, k, init="random", seed=5, tolerance=0.0,
+                          max_iterations=200, yinyang_t=0, verbosity=1)
+        out = capsys.readouterr().out
+        iters = sum(1 for l in out.splitlines()
+                    if l.startswith("iteration"))
+        return c, a, iters, ("stagnated" in out)
+
+    rc, ra, r_iters, r_stag = run_and_count()
+    assert r_stag, "fixture must actually trip the stagnation stop"
+    # segment shorter than the patience window: the device counter alone
+    # can never reach 4 inside one dispatch — only the carried state can
+    monkeypatch.setattr(config, "LOOP_SEGMENT_ITERATIONS", 2)
+    sc, sa, s_iters, s_stag = run_and_count()
+    assert s_stag and s_iters == r_iters
     assert np.array_equal(np.asarray(ra), np.asarray(sa))
     assert np.array_equal(np.asarray(rc), np.asarray(sc), equal_nan=True)
