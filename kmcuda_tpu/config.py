@@ -106,9 +106,22 @@ ASSIGN_TILE_C = 512
 #: a full (tile_s, features) block in VMEM.
 ASSIGN_TILE_F = 512
 
-#: K-nn brute-force / pruned search tiles.
+#: K-nn search tiles: queries per chunk (the pruning granularity — the
+#: tile-skip test is "any query in the chunk still needs this tile":
+#: smaller chunks prune more but dispatch more walks; 512 measured best
+#: at 1M x 64 on v5e, and the examined fraction was chunk-insensitive on
+#: the 13K fixture) and member-tile rows for the brute-force fallback
+#: (the pruned path sizes member tiles from the mean cluster size
+#: instead, models/knn._pick_tile_m).
 KNN_TILE_Q = 512
 KNN_TILE_M = 2048
+
+#: Member rows per step of the pruned walk (= group of
+#: KNN_TILE_GROUP_ROWS / tile_m single-cluster tiles).  One tile per step
+#: spends more wall time on while-loop dispatch than on the tile matmul;
+#: grouping makes each step one MXU-sized (chunk, rows) score matmul at
+#: the cost of over-visiting at most group-1 tiles per chunk walk.
+KNN_TILE_GROUP_ROWS = 4096
 
 #: Queries per k-nn search dispatch (per device).  The search runs as a
 #: sequence of host-level batches rather than one monolithic device

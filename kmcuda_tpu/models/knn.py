@@ -5,16 +5,18 @@ pairwise-distance matrix -> per-sample search over clusters that survive the
 triangle-inequality cutoff, with a fixed-k binary max-heap per sample
 (knn.cu:133-175).
 
-TPU rebuild, phase 1 (this file): a tiled brute-force search — distance
-tiles on the MXU with a running top-k merge, queries sharded across the
-mesh, members replicated (the reference replicates samples to every GPU
-too, kmcuda.cc:593-598).  Results are exact and sorted ascending like the
-reference's shmem heap drain (knn.cu:239-242).
+TPU rebuild: members are laid out cluster-major with per-cluster padding
+to a tile boundary (ops/knn_prune.cluster_layout — the device-side analog
+of the reference's host CSR build, kmcuda.cc:648-691), queries ARE the
+padded member rows (one array serves both sides, halving HBM), and each
+query chunk walks single-cluster member tiles most-promising-first under
+the reference's per-cluster cutoff (knn.cu:218-224) with a log-depth
+top-k merge (ops/knn_prune.merge_block) instead of the per-candidate
+heap.  The examined-fraction counter the reference reports
+(knn.cu:521-530) is preserved.
 
-Phase 2 (ops/knn_prune.py, later milestone) adds the cluster-level
-triangle-inequality pruning (knn.cu:218-224) on top of the same top-k
-merge, with the examined-fraction counter the reference reports
-(knn.cu:521-530).
+A tiled brute-force search remains as the fallback when there is no
+cluster structure to prune with (no centroids, or k < 2).
 """
 
 import functools
@@ -92,17 +94,15 @@ def _search(xq, xq_sq, q_ids, xm, m_valid, *, k, metric, chunk, tile_m,
             # reference is validated against, test.py:598-603)
             d = jnp.where(qidb[:, None] == midt[None, :], INF, d)
             d = jnp.where(mpent[None, :] > 0, INF, d)
-            # skip the (expensive) select_k merge when the tile improves
-            # no query's candidate buffer — one min-pass decides, '<=' so
-            # knife-edge ties still merge (see ops/knn_prune.search)
+            # skip the merge when the tile improves no query's candidate
+            # buffer — one min-pass decides, '<=' so knife-edge ties still
+            # merge (see ops/knn_prune.search)
             improves = jnp.any(jnp.min(d, axis=1) <= best_d[:, kk - 1])
 
             def merge(_):
-                cat_d = jnp.concatenate([best_d, d], axis=1)
-                cat_i = jnp.concatenate([best_i, jnp.broadcast_to(
-                    midt[None, :], d.shape)], axis=1)
-                # argmin-extraction selection (ties -> lowest member id)
-                return KP.select_k(cat_d, cat_i, kk)
+                # midt is a contiguous ascending range (tile t covers
+                # members [t*tile_m, (t+1)*tile_m)), so ids are affine
+                return KP.merge_block(best_d, best_i, d, midt[0], kk)
 
             return lax.cond(improves, merge,
                             lambda _: (best_d, best_i), None), None
@@ -183,42 +183,108 @@ def _cluster_structure(x, x_sq, valid, assign, centroids, *, n_clusters,
     radii = jnp.zeros((k,), jnp.float32).at[a].max(
         jnp.where(a < k, d_own, 0.0), mode="drop")
     cd = D.pairwise_distance(c_raw[:-1], c_raw[:-1], metric)
-    sorder = jnp.argsort(a, stable=True).astype(jnp.int32)
-    return a, d_own, radii, cd, sorder
+    return a, d_own, radii, cd
+
+
+@jax.jit
+def _tour_relabel(a, cd, radii):
+    """Relabel clusters along a greedy nearest-neighbor tour of the
+    cluster centers.
+
+    The search prunes at query-chunk granularity; a chunk spans a few
+    *adjacent* clusters of the cluster-major layout.  Raw k-means labels
+    are spatially arbitrary, so adjacent-label clusters can sit anywhere
+    and the chunk-min cutoff degenerates toward "visit everything".
+    Visiting clusters in tour order makes chunk neighborhoods spatially
+    coherent, which tightens both the chunk-min bound and tau_max (the
+    chunk's worst running kth distance).  Pure wall-time/pruning
+    optimization — results are exact either way.
+
+    Returns (b, sorder, cd_r, radii_r): rank-space cluster ids, the sort
+    permutation by rank, and the CD/radius tables permuted into rank
+    space.
+    """
+    k = cd.shape[0]
+    i32 = jnp.int32
+    big = jnp.float32(KP.BIG_BOUND)
+    cdx = jnp.where(jnp.isfinite(cd), cd, big)
+    cdx = cdx + big * jnp.eye(k, dtype=jnp.float32)
+
+    def body(i, carry):
+        cur, visited, perm = carry
+        visited = visited.at[cur].set(True)
+        perm = perm.at[i].set(cur)
+        row = jnp.where(visited, jnp.inf, cdx[cur])
+        return jnp.argmin(row).astype(i32), visited, perm
+
+    _cur, _vis, perm = lax.fori_loop(
+        0, k, body,
+        (i32(0), jnp.zeros((k,), bool), jnp.zeros((k,), i32)))
+    rank = jnp.zeros((k,), i32).at[perm].set(
+        lax.broadcasted_iota(i32, (k, 1), 0)[:, 0])
+    b = jnp.where(a < k, rank[jnp.minimum(a, k - 1).astype(i32)],
+                  i32(k)).astype(jnp.uint32)
+    sorder = jnp.argsort(b, stable=True).astype(i32)
+    return b, sorder, cd[perm][:, perm], radii[perm]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "m_total"))
+def _scatter_padded(x_sorted, d_own_sorted, a_sorted, padded_pos, *, k,
+                    m_total):
+    """Scatter the cluster-sorted members into the cluster-major padded
+    layout.  One array serves as both the replicated member set and the
+    sharded query set.  Invalid rows (cluster id k) scatter out of range
+    and are dropped; pad rows keep m_spos = -1, d_own = 0, assign = k."""
+    n_pad, f = x_sorted.shape
+    i32 = jnp.int32
+    iota_n = lax.broadcasted_iota(i32, (n_pad, 1), 0)[:, 0]
+    xm = jnp.zeros((m_total, f), x_sorted.dtype).at[padded_pos].set(
+        x_sorted, mode="drop")
+    m_spos = jnp.full((m_total,), -1, i32).at[padded_pos].set(
+        iota_n, mode="drop")
+    q_own = jnp.zeros((m_total,), jnp.float32).at[padded_pos].set(
+        d_own_sorted, mode="drop")
+    q_assign = jnp.full((m_total,), np.uint32(k)).at[padded_pos].set(
+        a_sorted.astype(jnp.uint32), mode="drop")
+    return xm, m_spos, q_own, q_assign
 
 
 @functools.lru_cache(maxsize=64)
 def _build_pruned_search(mesh, k_neighbors, n_clusters, metric, chunk,
-                         tile_m, n_batch_chunks):
-    from kmcuda_tpu.ops import knn_prune as KP
-
+                         tile_m, group, n_batch_chunks):
     fn = functools.partial(
         KP.search, k_neighbors=k_neighbors, n_clusters=n_clusters,
-        metric=metric, chunk=chunk, tile_m=tile_m,
+        metric=metric, chunk=chunk, tile_m=tile_m, group=group,
         n_batch_chunks=n_batch_chunks, axis_name=AXIS)
     return jax.jit(jax.shard_map(
         fn, mesh=mesh,
         in_specs=(P(AXIS, None), P(AXIS), P(AXIS), P(AXIS), P(None, None),
-                  P(None), P(None, None), P()),
+                  P(None), P(None, None), P(None), P(None), P(None), P()),
         out_specs=(P(AXIS, None), P(AXIS, None), P())))
+
+
+def _pick_tile_m(n: int, k: int) -> int:
+    """Member-tile rows: a power of two near the mean cluster size,
+    clamped to [128, 1024].  Tiles never straddle clusters, so a tile
+    smaller than a cluster costs nothing in pruning; a tile larger than
+    the mean cluster wastes padding (up to k * tile_m rows)."""
+    avg = max(1, n // max(1, k))
+    tile_m = 128
+    while tile_m * 2 <= min(1024, avg):
+        tile_m *= 2
+    return tile_m
 
 
 def run(problem, centroids, assignments, k_neighbors: int):
     """k-NN of every sample, pruned via the k-means structure
     (knn_cuda_calc, knn.cu:381-532).  Falls back to plain brute force when
     the cluster structure cannot pay for itself."""
-    from kmcuda_tpu.ops import knn_prune as KP
-
     p = problem
-    # pruning granularity: aim for ~128 member tiles so a tile spans a
-    # fraction of a cluster (the reference prunes per cluster per sample;
-    # we prune per tile per query chunk)
-    tile_m = min(config.KNN_TILE_M, max(256, p.n_pad // 128))
-    while p.n_pad % tile_m:
-        tile_m //= 2
-    n_tiles = p.n_pad // tile_m
 
-    if centroids is None or n_tiles < 2 or p.k < 2:
+    if centroids is None or p.k < 2 or p.n_pad < 2 * config.LANE:
+        tile_m = config.KNN_TILE_M
+        while p.n_pad % tile_m:
+            tile_m //= 2
         q_ids = p.topo.put_sharded(jnp.arange(p.n_pad, dtype=jnp.int32))
         xm = p.topo.put_replicated(p.x)
         m_valid = p.topo.put_replicated(p.valid)
@@ -228,56 +294,90 @@ def run(problem, centroids, assignments, k_neighbors: int):
         p.logger.info("calculated 1.000000 of all the distances")
         return nbr, dist
 
+    tile_m = _pick_tile_m(p.n, p.k)
     # finer query chunks than the k-means scan: the tile-skip test is
     # per-chunk ("any query still needs this tile"), so smaller chunks
     # prune more
     q_chunk = config.KNN_TILE_Q if p.chunk % config.KNN_TILE_Q == 0 \
         else p.chunk
 
+    # cluster-major padded layout size: every cluster padded to a tile
+    # boundary, plus at least one guaranteed-unused filler tile (the
+    # grouped walk's tail padding re-visits tile n_tiles-1, which must
+    # hold no members) and filler so the query axis shards and chunks
+    # evenly (filler tiles are never visited as members)
+    n_tiles = -(-p.n_pad // tile_m) + p.k + 1
+    row_quant = np.lcm(p.topo.n * q_chunk, tile_m)
+    tile_quant = row_quant // tile_m
+    n_tiles = int(-(-n_tiles // tile_quant) * tile_quant)
+    m_total = n_tiles * tile_m
+    # tiles per walk step: enough rows for an MXU-sized matmul, but no
+    # more than a sliver of the tile count (a group over-visits at most
+    # group-1 tiles per chunk walk)
+    group = max(1, min(config.KNN_TILE_GROUP_ROWS // tile_m,
+                       max(1, n_tiles // 16)))
+
     cents = jnp.asarray(centroids, jnp.float32)
-    a, d_own, radii, cd, sorder = _cluster_structure(
+    a, d_own, radii, cd = _cluster_structure(
         p.x, p.x_sq, p.valid, assignments, cents, n_clusters=p.k,
         metric=p.metric, chunk=p.chunk)
-    t_mat = KP.tile_bounds(
-        cd, radii, a[sorder], p.valid[sorder], n_tiles, tile_m)
+    b, sorder, cd, radii = _tour_relabel(a, cd, radii)
+    b_sorted = b[sorder]
+    padded_pos, tile_cluster, tile_nvalid = KP.cluster_layout(
+        b_sorted, k=p.k, tile_m=tile_m, n_tiles=n_tiles)
+    xm, m_spos, q_own, q_assign = _scatter_padded(
+        p.x[sorder], d_own[sorder], b_sorted, padded_pos, k=p.k,
+        m_total=m_total)
+    big = jnp.float32(KP.BIG_BOUND)
+    cd_ext = jnp.nan_to_num(cd, nan=big, posinf=big)
+    cd_ext = jnp.concatenate([cd_ext, jnp.full((1, p.k), big)], axis=0)
+    r_ext = jnp.nan_to_num(radii)
 
-    # sorted layout: queries sharded, members replicated
-    xq = p.topo.put_sharded(p.x[sorder])
-    xq_sq = p.topo.put_sharded(p.x_sq[sorder])
-    q_own = p.topo.put_sharded(d_own[sorder])
-    q_assign = p.topo.put_sharded(a[sorder])
-    xm = p.topo.put_replicated(p.x[sorder])
-    m_valid = p.topo.put_replicated(p.valid[sorder])
-    t_mat = p.topo.put_replicated(t_mat)
+    # the padded array serves both sides: sharded as queries, replicated
+    # as members (no copy on a single device)
+    xq = p.topo.put_sharded(xm)
+    xq_sq = p.topo.put_sharded(D.row_sq_norms(xm))
+    q_own = p.topo.put_sharded(q_own)
+    q_assign = p.topo.put_sharded(q_assign)
+    xm = p.topo.put_replicated(xm)
+    m_spos_r = p.topo.put_replicated(m_spos)
+    cd_ext = p.topo.put_replicated(cd_ext)
+    r_ext = p.topo.put_replicated(r_ext)
+    tile_cluster = p.topo.put_replicated(tile_cluster)
+    tile_nvalid = p.topo.put_replicated(tile_nvalid)
 
     # host-level batching: no single device dispatch runs unboundedly
     # long (weakly-prunable data makes an exact 1M+ search take tens of
     # minutes — one monolithic dispatch gets killed by runtime watchdogs
     # and reports no progress).  Results are batch-size independent.
-    nl_local = p.n_pad // p.topo.n
+    nl_local = m_total // p.topo.n
     nchunks_local = nl_local // q_chunk
     k_batch = min(nchunks_local,
                   max(1, config.KNN_QUERY_BATCH // q_chunk))
     n_full = nchunks_local // k_batch
     rem = nchunks_local - n_full * k_batch
     search = _build_pruned_search(
-        p.topo.mesh, k_neighbors, p.k, p.metric, q_chunk, tile_m, k_batch)
-    parts, tiles = [], 0
+        p.topo.mesh, k_neighbors, p.k, p.metric, q_chunk, tile_m, group,
+        k_batch)
+    parts, examined = [], 0.0
     for b in range(n_full):
-        nbp, dsb, tb = search(xq, xq_sq, q_own, q_assign, xm, m_valid,
-                              t_mat, jnp.int32(b * k_batch))
+        nbp, dsb, ex = search(xq, xq_sq, q_own, q_assign, xm, m_spos_r,
+                              cd_ext, r_ext, tile_cluster, tile_nvalid,
+                              jnp.int32(b * k_batch))
         parts.append((nbp, dsb))
-        tiles += int(tb)
+        examined += float(ex)
         if n_full + (1 if rem else 0) > 1:
-            p.logger.debug("knn: batch %d/%d (%d tile visits)"
-                           % (b + 1, n_full + (1 if rem else 0), int(tb)))
+            p.logger.debug("knn: batch %d/%d (%.3g distances examined)"
+                           % (b + 1, n_full + (1 if rem else 0), float(ex)))
     if rem:
         search_r = _build_pruned_search(
-            p.topo.mesh, k_neighbors, p.k, p.metric, q_chunk, tile_m, rem)
-        nbp, dsb, tb = search_r(xq, xq_sq, q_own, q_assign, xm, m_valid,
-                                t_mat, jnp.int32(n_full * k_batch))
+            p.topo.mesh, k_neighbors, p.k, p.metric, q_chunk, tile_m,
+            group, rem)
+        nbp, dsb, ex = search_r(xq, xq_sq, q_own, q_assign, xm, m_spos_r,
+                                cd_ext, r_ext, tile_cluster, tile_nvalid,
+                                jnp.int32(n_full * k_batch))
         parts.append((nbp, dsb))
-        tiles += int(tb)
+        examined += float(ex)
 
     def reassemble(ps):
         # each part is shard-major ((n_dev * rows_b, k)); concatenate the
@@ -286,18 +386,22 @@ def run(problem, centroids, assignments, k_neighbors: int):
         blocks = [q.reshape(nd, -1, q.shape[-1]) for q in ps]
         return jnp.concatenate(blocks, axis=1).reshape(-1, ps[0].shape[-1])
 
-    nbr_pos = reassemble([q for q, _ in parts])
+    nbr_pad = reassemble([q for q, _ in parts])
     dist = reassemble([d for _, d in parts])
 
-    frac = float(tiles) * q_chunk * tile_m / (float(p.n) ** 2)
+    frac = examined / (float(p.n) ** 2)
     # same progress line as the reference (knn.cu:521-530)
     p.logger.info("calculated %f of all the distances" % min(frac, 1.0))
 
-    # map candidate sorted-positions back to original sample ids, and
-    # un-sort the query rows
-    nbr_orig = jnp.where(nbr_pos >= 0, sorder[jnp.maximum(nbr_pos, 0)],
-                         -1)
+    # padded position -> original sample id (via sorted position), for
+    # both the neighbor values and the query rows themselves
+    orig_of_padded = jnp.where(
+        m_spos >= 0, sorder[jnp.maximum(m_spos, 0)], jnp.int32(p.n_pad))
+    nbr_orig = jnp.where(
+        nbr_pad >= 0, orig_of_padded[jnp.maximum(nbr_pad, 0)], -1)
     n_pad, kk = p.n_pad, k_neighbors
-    out_n = jnp.zeros((n_pad, kk), jnp.int32).at[sorder].set(nbr_orig)
-    out_d = jnp.zeros((n_pad, kk), jnp.float32).at[sorder].set(dist)
+    out_n = jnp.zeros((n_pad, kk), jnp.int32).at[orig_of_padded].set(
+        nbr_orig, mode="drop")
+    out_d = jnp.zeros((n_pad, kk), jnp.float32).at[orig_of_padded].set(
+        dist, mode="drop")
     return out_n, out_d

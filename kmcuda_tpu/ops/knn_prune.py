@@ -6,31 +6,36 @@ its own cluster, then every other cluster c unless
 max-heap of k candidates (knn.cu:133-175), and counts how many distances it
 actually computed (knn.cu:16,521-530).
 
-TPU-native redesign — the unit of pruning is a *member tile*, not a single
-cluster, and the unit of search is a *query chunk*, not a thread:
+TPU-native redesign — the unit of search is a *query chunk* and a *member
+tile*, not a thread and a candidate:
 
-- samples are sorted by cluster (the device-side analog of the host CSR
-  build, kmcuda.cc:648-691), so a member tile spans few clusters;
-- ``T[a, j] = min over members m of tile j of (CD[a, cluster(m)] -
-  R(cluster(m)))`` pre-aggregates the reference's per-cluster cutoff to
-  tile granularity: tile j can hold a neighbor of a query in cluster a
-  only if ``T[a, j] - d_own <= kth``;
+- members are laid out **cluster-major with per-cluster padding to a tile
+  boundary** (:func:`cluster_layout`), so every tile belongs to exactly
+  one cluster and the tile pruning bound IS the reference's per-cluster
+  cutoff ``CD(own, c) - d_own - R(c)`` — no granularity loss from tiles
+  straddling clusters;
 - each query chunk visits tiles most-promising-first (ascending chunk-min
   bound) in a dynamic-trip-count while loop that stops as soon as the next
-  tile's bound exceeds every query's running kth distance — the running
-  top-k replaces the heap;
-- computed-tile counts give the reference's ``calculated %f of all the
-  distances`` pruning metric.
+  tile's bound exceeds every query's running kth distance;
+- the running top-k buffer replaces the heap; merges are **logarithmic
+  depth** (:func:`merge_block`: ``lax.top_k`` over the tile then one
+  bitonic ``lax.sort`` over 2*kk columns) instead of the reference's
+  O(log k)-per-candidate sift — and instead of this module's former
+  k-sequential min-passes, which unrolled O(k^2) work and could not
+  compile at large k;
+- visited-tile member counts give the reference's ``calculated %f of all
+  the distances`` pruning metric.
 
 Exactness: all bounds live in true-distance space with a downward slack on
 the tile bound and an upward margin on kth, so dot-form rounding can only
 weaken pruning, never drop a true neighbor; the surviving candidates get
 the same exact subtract-square rescore as the brute-force path.
 
-Candidates are tracked as *sorted positions* during the search and mapped
-back to original sample indices only at the end, so the member matrix is
-kept on device once (sorted layout), not twice.
+Candidates are tracked as *padded-layout positions* during the search and
+mapped back to original sample indices only at the end.
 """
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -49,89 +54,130 @@ INF = np.float32(np.inf)
 #: relative slack absorbing dot-form rounding in the pruning inequalities
 SLACK = 1e-5
 
+#: bound value marking tiles that must never be visited (unused padding
+#: tiles, all-invalid chunks); any bound >= STOP_BOUND ends the tile walk
+#: regardless of the running kth distance.  Kept well below PAD_PENALTY so
+#: arithmetic on it stays finite.
+BIG_BOUND = np.float32(1e29)
+STOP_BOUND = np.float32(1e28)
+
 
 def select_k(d, idx, kk):
     """Ascending (distance, id)-lexicographic k-smallest selection.
 
-    min/compare/where only — ``kk`` masked passes over the candidate row.
-    Chosen over ``lax.top_k``/``lax.sort`` because the (distance, id)
-    lexicographic tie-break is exact by construction (top_k breaks ties
-    by column position), and because at ``kk`` ~ tens the pass count is
-    competitive.  NOTE the bandwidth profile: a merge costs ~kk row
-    passes, which dwarfs the tile matmul that produced the candidates —
-    callers gate merges behind a one-pass "does this tile improve any
-    buffer" test.  (Historical: TPU faults once blamed on sort ops in
-    this loop were actually a runtime watchdog killing monolithic
-    multi-minute dispatches; fixed by host-level query batching,
-    config.KNN_QUERY_BATCH.)
+    One bitonic ``lax.sort`` with ``num_keys=2`` — exactly the
+    (distance, id) lexicographic order, log^2-depth, compile size
+    independent of ``kk`` (the former implementation unrolled kk
+    sequential min-passes and could not compile at large k).
 
-    d:   (n, m) candidate distances.
+    d:   (n, m) candidate distances (no NaNs).
     idx: (n, m) candidate ids (unique per row among finite-distance
-         entries; duplicates may exist among INF sentinels and are
-         consumed in one step, which is harmless).
+         entries).
     Returns (dists (n, kk), ids (n, kk)) ascending by (distance, id).
     """
-    big_i = jnp.int32(2**31 - 1)
-    out_d, out_i = [], []
-    for _ in range(kk):
-        dm = jnp.min(d, axis=1)
-        ismin = d == dm[:, None]
-        sel = jnp.min(jnp.where(ismin, idx, big_i), axis=1)
-        d = jnp.where(ismin & (idx == sel[:, None]), INF, d)
-        out_d.append(dm)
-        out_i.append(sel)
-    return jnp.stack(out_d, axis=1), jnp.stack(out_i, axis=1)
+    sd, si = lax.sort((d, idx), dimension=1, num_keys=2)
+    return sd[:, :kk], si[:, :kk]
 
 
-def tile_bounds(cd, radii, a_sorted, m_valid, n_tiles, tile_m):
-    """T (k+1, n_tiles): per (query-cluster, member-tile) pruning bound.
+def merge_block(best_d, best_i, d, id_base, kk):
+    """Merge a (distance, id)-sorted running top-kk buffer with a fresh
+    scored block whose ids are ``id_base + column``.
 
-    cd:       (k, k) true cluster-center distance matrix.
-    radii:    (k,) cluster radiuses (max member distance to center).
-    a_sorted: (n_pad,) member cluster ids in sorted order (k for invalid).
+    The reference's heap does O(log k) per *candidate*
+    (push_sample, knn.cu:133-175); on TPU the block arrives as one matmul
+    tile, so the merge is per *tile*: ``lax.top_k`` reduces the block to
+    its kk lexicographically-smallest pairs (top_k keeps the lower column
+    on ties, and columns are ascending ids, so the selection is exactly
+    lexicographic), then one small sort merges 2*kk columns.  Cost is
+    O(m log kk + kk log^2 kk) per merge — independent of how the caller
+    gates merges.
     """
-    # large-finite, never INF: the bound rows are selected with a one-hot
-    # matmul downstream, and 0 * inf = NaN would poison every test
-    big = jnp.float32(config.PAD_PENALTY)
-    k = cd.shape[0]
-    cd_ext = jnp.concatenate([cd, jnp.full((k, 1), big)], axis=1)
-    cd_ext = jnp.nan_to_num(cd_ext, nan=config.PAD_PENALTY,
-                            posinf=config.PAD_PENALTY)
-    r_ext = jnp.concatenate(
-        [jnp.nan_to_num(radii), jnp.zeros((1,), jnp.float32)])
-    at = a_sorted.astype(jnp.int32).reshape(n_tiles, tile_m)
-    vt = m_valid.reshape(n_tiles, tile_m)
-
-    def per_tile(_, inp):
-        ab, vb = inp
-        cols = jnp.take(cd_ext, ab, axis=1) - r_ext[ab][None, :]   # (k, M)
-        cols = jnp.where(vb[None, :], cols, big)
-        return None, jnp.min(cols, axis=1)
-
-    _, t = lax.scan(per_tile, None, (at, vt))
-    t = t.T                                                 # (k, n_tiles)
-    return jnp.concatenate([t, jnp.full((1, n_tiles), big)])
+    kc = min(kk, d.shape[1])
+    neg_d, col = lax.top_k(-d, kc)
+    cat_d = jnp.concatenate([best_d, -neg_d], axis=1)
+    cat_i = jnp.concatenate([best_i, id_base + col], axis=1)
+    return select_k(cat_d, cat_i, kk)
 
 
-def search(xq, xq_sq, q_own, q_assign, xm, m_valid, t_mat, chunk_base, *,
-           k_neighbors, n_clusters, metric, chunk, tile_m, n_batch_chunks,
-           axis_name=None):
+@functools.partial(jax.jit, static_argnames=("k", "tile_m", "n_tiles"))
+def cluster_layout(a_sorted, *, k, tile_m, n_tiles):
+    """Cluster-major padded member layout plan.
+
+    The reference builds a host CSR (cluster -> member list,
+    kmcuda.cc:648-691) so its search kernel can scan whole clusters and
+    apply one cutoff per cluster.  Here the members will be scattered
+    into a dense (n_tiles * tile_m) array where cluster c occupies tiles
+    [tile_off[c], tile_off[c] + ceil(size_c / tile_m)) — every tile
+    single-cluster, padded rows invalid.  ``n_tiles`` is the static
+    upper bound n_pad // tile_m + k.
+
+    a_sorted: (n_pad,) cluster ids in ascending sorted order (k = invalid,
+              sorts to the end).
+    Returns:
+      padded_pos:   (n_pad,) position of each sorted member in the padded
+                    layout (out-of-range for invalid rows -> scatter-drop).
+      tile_cluster: (n_tiles,) owning cluster of each tile (k = unused).
+      tile_nvalid:  (n_tiles,) real members in each tile.
+    """
+    i32 = jnp.int32
+    n_pad = a_sorted.shape[0]
+    a = a_sorted.astype(i32)
+    szk = jnp.zeros((k,), i32).at[a].add(1, mode="drop")
+    tpc = -(-szk // tile_m)                       # tiles per cluster
+    tile_end = jnp.cumsum(tpc)                    # (k,)
+    tile_off = jnp.concatenate([jnp.zeros((1,), i32), tile_end[:-1]])
+    off = jnp.concatenate(
+        [jnp.zeros((1,), i32), jnp.cumsum(szk)[:-1]])
+    m_total = n_tiles * tile_m
+    base_ext = jnp.concatenate(
+        [tile_off * tile_m, jnp.full((1,), m_total, i32)])
+    off_ext = jnp.concatenate([off, jnp.zeros((1,), i32)])
+    iota_n = lax.broadcasted_iota(i32, (n_pad, 1), 0)[:, 0]
+    padded_pos = base_ext[a] + (iota_n - off_ext[a])
+
+    tile_ids = lax.broadcasted_iota(i32, (n_tiles, 1), 0)[:, 0]
+    tile_cluster = jnp.searchsorted(tile_end, tile_ids,
+                                    side="right").astype(i32)
+    tc = jnp.minimum(tile_cluster, k - 1)
+    nval = jnp.clip(szk[tc] - (tile_ids - tile_off[tc]) * tile_m,
+                    0, tile_m)
+    tile_nvalid = jnp.where(tile_cluster < k, nval, 0)
+    return padded_pos, tile_cluster, tile_nvalid
+
+
+def search(xq, xq_sq, q_own, q_assign, xm, m_spos, cd_ext, r_ext,
+           tile_cluster, tile_nvalid, chunk_base, *,
+           k_neighbors, n_clusters, metric, chunk, tile_m, group,
+           n_batch_chunks, axis_name=None):
     """Pruned search over one batch of the local query shard
-    (cluster-sorted layout).
+    (cluster-sorted layout, cluster-major padded members).
 
     xq/xq_sq/q_own/q_assign: local shard of the sorted queries — rows,
       squared norms, exact own-centroid distance, cluster id (k invalid).
-    xm/m_valid: replicated sorted members + validity.
-    t_mat: (k+1, n_tiles) tile bounds.
+    xm:     (M, F) replicated cluster-major padded members.
+    m_spos: (M,) global *sorted position* of each padded row (-1 pad);
+      doubles as validity and as the self-exclusion key.
+    cd_ext: (k+1, k) cluster-center distances, row k and non-finite
+      entries sanitized to BIG_BOUND (invalid queries prune everything).
+    r_ext:  (k,) cluster radiuses, NaN (empty) -> 0.
+    tile_cluster/tile_nvalid: the :func:`cluster_layout` plan.
+    group: tiles processed per walk step.  One tile per step spends more
+      time on loop dispatch than on the (tiny) tile matmul; grouping
+      makes the matmul (chunk, group*tile_m) MXU-sized at the cost of
+      over-visiting at most group-1 tiles per chunk walk.  Requires the
+      caller to guarantee tile nt-1 is an unused filler (the walk's tail
+      padding duplicates it; a duplicated REAL tile would double its
+      members' (distance, id) pairs and crowd true neighbors out of the
+      merge buffer).
     chunk_base: first local chunk of this batch (traced scalar); the call
       processes local rows [chunk_base*chunk, (chunk_base +
       n_batch_chunks)*chunk).  The driver loops over batches so no single
       device dispatch runs unboundedly long (see config.KNN_QUERY_BATCH).
 
-    Returns (neighbors (n_batch_chunks*chunk, k) int32 — *sorted
-    positions*, distances (..., k) f32 ascending, tiles_computed ()
-    int32 — number of (chunk, tile) score matmuls executed, psum'd
-    across the mesh).
+    Returns (neighbors (n_batch_chunks*chunk, k) int32 — *padded
+    positions*, distances (..., k) f32 ascending, examined () f32 —
+    number of (query, member) distances examined, psum'd across the
+    mesh).
     """
     nl, f = xq.shape
     nm = xm.shape[0]
@@ -140,7 +186,7 @@ def search(xq, xq_sq, q_own, q_assign, xm, m_valid, t_mat, chunk_base, *,
     kk = min(k_neighbors + max(16, k_neighbors // 2), nm)
 
     xm_sq = D.row_sq_norms(xm)
-    m_pen = jnp.where(m_valid, 0.0, config.PAD_PENALTY)
+    m_pen = jnp.where(m_spos >= 0, 0.0, config.PAD_PENALTY)
 
     nchunks = n_batch_chunks
     nb = nchunks * chunk
@@ -158,33 +204,50 @@ def search(xq, xq_sq, q_own, q_assign, xm, m_valid, t_mat, chunk_base, *,
         shard_off = 0
     q_pos = (shard_off + row_base
              + lax.broadcasted_iota(jnp.int32, (nb, 1), 0)[:, 0])
+    tcc = jnp.minimum(tile_cluster, k - 1)
 
     # ---- pass 1: per-chunk tile bounds, ONE batched sort ----------------
-    # Visit order must be most-promising-first (ascending chunk-min
-    # bound).  The sort runs OUTSIDE the search scan, batched over all
-    # chunks: a lax.sort inside a large scanned search faults the TPU
-    # runtime (empirical, same class as the select_k note above), and one
-    # (nchunks, nt) sort is cheaper than nchunks small ones anyway.
+    # Every tile is single-cluster, so the per-(chunk, tile) bound is the
+    # reference's per-cluster cutoff aggregated over the chunk:
+    #   b[j] = min over queries q of (CD[a_q, c_j] - d_own_q) - R[c_j].
+    # Visit order is most-promising-first (ascending bound); the sort runs
+    # OUTSIDE the search scan, batched over all chunks (one (nchunks, nt)
+    # sort is cheaper than nchunks small ones, and a lax.sort inside a
+    # large scanned search once faulted the TPU runtime).
     def chunk_bounds(_, inp):
         qb_a, qb_own = inp
         oh = (qb_a[:, None] == iota_k1).astype(jnp.float32)
-        tb = jnp.dot(oh, t_mat,
-                     precision=lax.Precision.HIGHEST) - qb_own[:, None]
+        rows = jnp.dot(oh, cd_ext,
+                       precision=lax.Precision.HIGHEST)     # (chunk, k)
+        u = jnp.min(rows - qb_own[:, None], axis=0)         # (k,)
+        tb = u[tcc] - r_ext[tcc]                            # (nt,)
         tb = tb - SLACK * (1.0 + jnp.abs(tb))
-        return None, jnp.min(tb, axis=0)                     # (nt,)
+        tb = jnp.where(tile_cluster < k, tb, BIG_BOUND)
+        return None, tb
 
-    _, tb_min_all = lax.scan(
+    _, tb_all = lax.scan(
         chunk_bounds, None,
         (q_assign.astype(jnp.uint32).reshape(nchunks, chunk),
-         q_own.reshape(nchunks, chunk)))                     # (nchunks, nt)
+         q_own.reshape(nchunks, chunk)))                    # (nchunks, nt)
     iota_nt = jnp.broadcast_to(
-        lax.broadcasted_iota(jnp.int32, (1, nt), 1), tb_min_all.shape)
+        lax.broadcasted_iota(jnp.int32, (1, nt), 1), tb_all.shape)
     sorted_min_all, tile_order_all = lax.sort(
-        (tb_min_all, iota_nt), dimension=1, num_keys=1)
+        (tb_all, iota_nt), dimension=1, num_keys=1)
+    if group > 1:
+        # tail padding for the grouped walk: tile nt-1 is an unused
+        # filler by the caller's contract, safe to visit repeatedly
+        sorted_min_all = jnp.concatenate(
+            [sorted_min_all,
+             jnp.full((nchunks, group - 1), BIG_BOUND)], axis=1)
+        tile_order_all = jnp.concatenate(
+            [tile_order_all,
+             jnp.full((nchunks, group - 1), nt - 1, jnp.int32)], axis=1)
 
     # ---- pass 2: the pruned search, tile order precomputed --------------
     def per_chunk(count, inp):
         qb, qsqb, ownb, ab, qposb, sorted_min, tile_order = inp
+        q_valid = ab < k
+        n_qvalid = jnp.sum(q_valid.astype(jnp.float32))
         # stop once the next tile's chunk-min bound exceeds every query's
         # running kth distance: all later tiles bound even higher, so the
         # visited prefix is provably sufficient.  A dynamic-trip while
@@ -192,44 +255,60 @@ def search(xq, xq_sq, q_own, q_assign, xm, m_valid, t_mat, chunk_base, *,
         # nested cond-in-scan-in-scan construct faulted the TPU at scale).
 
         def vcond(carry):
-            r, best_d, _best_i, _count = carry
+            r, best_d, _best_i, _ex = carry
             tau_max = jnp.max(best_d[:, k_neighbors - 1])
-            return (r < nt) & (sorted_min[r] <= tau_max)
+            return ((r < nt) & (sorted_min[r] <= tau_max)
+                    & (sorted_min[r] < STOP_BOUND))
 
         def vbody(carry):
-            r, best_d, best_i, count = carry
-            j = tile_order[r]
-            mt = lax.dynamic_slice(xm, (j * tile_m, 0), (tile_m, f))
-            msq = lax.dynamic_slice(xm_sq, (j * tile_m,), (tile_m,))
-            mpen = lax.dynamic_slice(m_pen, (j * tile_m,), (tile_m,))
+            r, best_d, best_i, ex = carry
+            js = lax.dynamic_slice(tile_order, (r,), (group,))
+            mt = jnp.concatenate(
+                [lax.dynamic_slice(xm, (js[g] * tile_m, 0), (tile_m, f))
+                 for g in range(group)], axis=0)
+            msq = jnp.concatenate(
+                [lax.dynamic_slice(xm_sq, (js[g] * tile_m,), (tile_m,))
+                 for g in range(group)])
+            mpen = jnp.concatenate(
+                [lax.dynamic_slice(m_pen, (js[g] * tile_m,), (tile_m,))
+                 for g in range(group)])
             s = D.scores(qb, mt.T.astype(qb.dtype), msq, mpen, metric)
             d = D.finalize_distance(s, qsqb[:, None], metric)
             d = d * (1.0 + SLACK)  # upward kth margin
-            mpos = j * tile_m + iota_m[0]
+            # queries ARE padded rows, so self-exclusion compares padded
+            # positions directly (member tile j covers positions
+            # [j*tile_m, (j+1)*tile_m))
+            mpos = (js[:, None] * tile_m + iota_m).reshape(group * tile_m)
             d = jnp.where(qposb[:, None] == mpos[None, :], INF, d)
             d = jnp.where(mpen[None, :] > 0, INF, d)
-            # the select_k merge costs ~kk passes over the tile row —
-            # far more than the tile matmul itself — but the cluster-loose
-            # tile bound means most visited tiles improve nobody's buffer.
-            # One cheap min-pass decides; '<=' (not '<') so a knife-edge
-            # tie still merges and id-tie-breaking stays exact.
+            # one cheap min-pass decides whether the merge runs at all —
+            # most visited tiles improve nobody's buffer.  '<=' (not '<')
+            # so a knife-edge tie still merges and id-tie-breaking stays
+            # exact.
             improves = jnp.any(
                 jnp.min(d, axis=1) <= best_d[:, kk - 1])
 
             def merge(_):
-                cat_d = jnp.concatenate([best_d, d], axis=1)
-                cat_i = jnp.concatenate(
-                    [best_i, jnp.broadcast_to(mpos[None, :], d.shape)],
-                    axis=1)
+                kc = min(kk, group * tile_m)
+                neg_d, col = lax.top_k(-d, kc)
+                cat_d = jnp.concatenate([best_d, -neg_d], axis=1)
+                cat_i = jnp.concatenate([best_i, mpos[col]], axis=1)
                 return select_k(cat_d, cat_i, kk)
 
             def keep(_):
                 return best_d, best_i
 
             nbd, nbi = lax.cond(improves, merge, keep, None)
-            return (r + 1, nbd, nbi, count + 1)
+            return (r + group, nbd, nbi,
+                    ex + jnp.sum(tile_nvalid[js]).astype(jnp.float32)
+                    * n_qvalid)
 
-        init = (jnp.int32(0), jnp.full((chunk, kk), INF),
+        # invalid (padding / NaN) queries start at -inf so they never
+        # inflate tau_max into a full scan; their rows come out as
+        # (-inf, -1) and are discarded by the caller
+        best_d0 = jnp.where(q_valid[:, None], INF, -INF)
+        best_d0 = jnp.broadcast_to(best_d0, (chunk, kk))
+        init = (jnp.int32(0), best_d0,
                 jnp.full((chunk, kk), jnp.int32(-1)), count)
         if axis_name is not None:
             from kmcuda_tpu.ops.assign import _mark_varying
@@ -247,9 +326,10 @@ def search(xq, xq_sq, q_own, q_assign, xm, m_valid, t_mat, chunk_base, *,
             d_exact = 2.0 * jnp.arcsin(jnp.clip(chord * 0.5, 0.0, 1.0))
         d_exact = jnp.where(bi < 0, INF, d_exact)
         d_sorted, i_sorted = select_k(d_exact, cand, k_neighbors)
+        i_sorted = jnp.where(jnp.isfinite(d_sorted), i_sorted, -1)
         return count, (i_sorted, d_sorted)
 
-    count0 = jnp.int32(0)
+    count0 = jnp.float32(0)
     if axis_name is not None:
         from kmcuda_tpu.ops.assign import _mark_varying
         count0 = _mark_varying(count0, axis_name)
