@@ -73,6 +73,41 @@ def test_pruning_reported(samples, clustered, capsys):
     assert fracs and 0.0 < fracs[-1] < 0.9, out
 
 
+def test_pruning_fraction_golden(samples, clustered, capsys):
+    """Seed-locked pruning-fraction golden on the 13K fixture — the
+    regression analog of the reference's showcase 0.276552
+    (README.md:313).  Pinned from the first CPU-8 run of this
+    configuration; a silent pruning regression (bound loosening, visit
+    -order damage, tour relabeling breakage) shows up here as a failed
+    golden rather than a slow benchmark.  The loose band absorbs
+    XLA-version tie flips in the k-means that feeds the structure."""
+    import os
+
+    if os.environ.get("KMTPU_TEST_TPU") == "1":
+        pytest.skip("golden pinned for the CPU-8 mesh")
+    knn_tpu(10, samples, *clustered, verbosity=1)
+    out = capsys.readouterr().out
+    frac = [float(line.split()[1]) for line in out.splitlines()
+            if line.startswith("calculated ")][-1]
+    assert frac == pytest.approx(0.5774, abs=0.03)
+
+
+def test_large_k_compiles_and_is_exact(samples, clustered):
+    """k=128 neighbors: the former unrolled merge could not compile here;
+    the log-depth merge must, and stay exact up to ties."""
+    nb = knn_tpu(128, samples, *clustered, device=1)
+    bn = _expected(samples, 128)
+    mism = (np.asarray(nb) != bn)
+    # mismatches must be genuine distance ties, not dropped neighbors
+    assert mism.sum() < 50
+    if mism.any():
+        rows, cols = np.nonzero(mism)
+        for r, c in zip(rows[:20], cols[:20]):
+            d_ours = np.linalg.norm(samples[r] - samples[nb[r, c]])
+            d_ref = np.linalg.norm(samples[r] - samples[bn[r, c]])
+            assert d_ours == pytest.approx(d_ref, rel=1e-5)
+
+
 def test_cosine_knn(samples):
     rng = np.random.RandomState(3)
     x = rng.randn(6000, 8).astype(np.float32)

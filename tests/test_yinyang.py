@@ -82,6 +82,34 @@ def test_yinyang_equals_incremental_lloyd_bitwise(samples):
     assert np.array_equal(np.asarray(lc), np.asarray(yc), equal_nan=True)
 
 
+#: Seed-locked iteration trajectory for kmeans++/Yinyang on the 13K
+#: fixture (seed=3, tol=0.01) — the analog of the reference's "15+3"
+#: stdout golden (test.py:228-234).  Pinned from the first CPU-8 run
+#: (self-referential, like the reference's: it guards regressions in the
+#: draft handoff, the filter, and the convergence loop, not external
+#: truth).  Draft = iterations until < 11% of 13000 reassign (3 here),
+#: main = the rest (15).
+YY_GOLDEN_COUNTS = [13000, 1553, 819, 490, 390, 352, 301, 295, 282, 256,
+                    233, 257, 238, 226, 191, 178, 145, 124]
+
+
+def test_yinyang_iteration_golden(samples, capsys):
+    import os
+
+    if os.environ.get("KMTPU_TEST_TPU") == "1":
+        pytest.skip("golden pinned for the CPU-8 mesh")
+    kmeans_tpu(samples, 50, init="kmeans++", seed=3, tolerance=0.01,
+               yinyang_t=0.1, verbosity=1)
+    out = capsys.readouterr().out
+    counts = [int(l.split(": ")[1].split()[0]) for l in out.splitlines()
+              if l.startswith("iteration")]
+    assert counts == YY_GOLDEN_COUNTS
+    # the draft/main split the reference's golden encodes: draft Lloyd
+    # hands over to Yinyang once churn < YINYANG_DRAFT_REASSIGNMENTS
+    draft = next(i for i, c in enumerate(counts) if c < 0.11 * 13000)
+    assert draft == 2 and len(counts) - draft - 1 == 15
+
+
 def test_yinyang_multi_device(samples):
     centroids, assignments = kmeans_tpu(
         samples, 50, init="kmeans++", device=0, seed=3, tolerance=0.01,

@@ -173,6 +173,63 @@ def test_scheduling_knobs_never_change_results(tight, knobs, monkeypatch):
         Y._build_yy_run.cache_clear()
 
 
+def test_bf16_bound_storage_never_changes_results(tight, monkeypatch):
+    """Forcing bfloat16 lower-bound storage (the near-HBM regime,
+    YY_BOUNDS_F32_MAX_BYTES) must yield the bitwise-identical trajectory:
+    bounds only gate work, never feed the argmin, and lower_cast rounds
+    strictly down so the filter stays sound (ops.yinyang.lower_cast)."""
+    import jax
+
+    from kmcuda_tpu import config
+    from kmcuda_tpu.models import yinyang as Y
+
+    x, k = tight
+    ref_c, ref_a = kmeans_tpu(x, k, init="random", seed=5, tolerance=0.0,
+                              max_iterations=40, yinyang_t=0.1)
+    monkeypatch.setattr(config, "YY_BOUNDS_F32_MAX_BYTES", 0)
+    bc, ba = kmeans_tpu(x, k, init="random", seed=5, tolerance=0.0,
+                        max_iterations=40, yinyang_t=0.1)
+    assert np.array_equal(np.asarray(ref_a), np.asarray(ba))
+    assert np.array_equal(np.asarray(ref_c), np.asarray(bc),
+                          equal_nan=True)
+
+
+def test_bf16_storage_yinyang_matches_its_lloyd(tight):
+    """bf16 *sample* storage (the reference's fp16 Yinyang test class,
+    test.py:525-534): Yinyang on fp16 input must still reproduce the
+    incremental Lloyd trajectory exactly — both run the same bf16
+    assignment matmuls and the same delta-update stream."""
+    import jax
+
+    from kmcuda_tpu.models import initialization as I
+    from kmcuda_tpu.models import lloyd as L
+    from kmcuda_tpu.models import yinyang as Y
+    from kmcuda_tpu.models.problem import prepare
+    from kmcuda_tpu.ops.distance import DistanceMetric
+    from kmcuda_tpu.parallel.mesh import Topology
+    from kmcuda_tpu.utils.logging import Logger
+
+    x, k = tight
+    topo = Topology(jax.devices()[:1])
+    p = prepare(x.astype(np.float16), k, DistanceMetric.L2, topo,
+                Logger(0))
+    assert p.x.dtype == jnp_bf16()
+    key = jax.random.key(5)
+    c0 = I.init_centroids(p, I.InitMethod.RANDOM, key)
+    lc, la, *_ = L.run_incremental(
+        p, c0, L.new_assignments(p), 0.0, max_iterations=30)
+    yc, ya, _b, _it = Y.run(
+        p, c0, L.new_assignments(p), 0.0, 25, max_iterations=30, key=key)
+    assert np.array_equal(np.asarray(la), np.asarray(ya))
+    assert np.array_equal(np.asarray(lc), np.asarray(yc), equal_nan=True)
+
+
+def jnp_bf16():
+    import jax.numpy as jnp
+
+    return jnp.bfloat16
+
+
 def test_stagnation_stop(tight, monkeypatch, capsys):
     """With patience=1 the loop must stop at the first iteration that
     fails to improve the running-best reassignment count (the guard that
