@@ -135,6 +135,13 @@ def kmeans_tpu(samples, clusters, tolerance=0.01, init="k-means++",
                                  afkmc2_m=afkmc2_m, imported=imported)
     assignments = L.new_assignments(problem)
 
+    if verbosity > 1:
+        # per-device memory stats after the working set is resident — the
+        # analog of the reference's verbosity-2 GPU memory print
+        # (kmcuda.cc:472-474)
+        for line in topo.memory_report():
+            logger.debug(line)
+
     groups = int(yinyang_t * k)
     if groups > 0 and tolerance < config.YINYANG_MIN_TOLERANCE:
         from kmcuda_tpu.models import yinyang as Y
@@ -191,6 +198,11 @@ def knn_tpu(k, samples, centroids, assignments, metric="L2", device=0,
     cents = jnp.asarray(np.asarray(centroids, np.float32)
                         if not isinstance(centroids, jax.Array)
                         else centroids, jnp.float32)
+    if verbosity > 1:
+        # the analog of the reference's knn-side memory print
+        # (kmcuda.cc:637-639)
+        for line in topo.memory_report():
+            logger.debug(line)
     nbr, _dist = KNN.run(problem, cents, a_pad, k)
     # uint32 either way, like the reference (python.cc:286-313)
     return _export(nbr[:n].astype(jnp.uint32), samples)

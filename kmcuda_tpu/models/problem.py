@@ -149,6 +149,22 @@ def prepare(samples, k: int, metric: DistanceMetric, topo: Topology,
                  "k=%d, dtype=%s, devices=%d, valid=%d"
                  % (n, n_pad, chunk, features, k, np.dtype(dtype).name,
                     topo.n, n_valid))
+    # the device split plan — the analog of the reference's print_plan
+    # (private.h:291-302), one line per device at verbosity 2
+    per_dev = n_pad // topo.n
+    itemsize = np.dtype(dtype).itemsize
+    for i, d in enumerate(topo.devices):
+        logger.debug("plan: %s rows [%d, %d) (%d chunks, %.1f MB samples)"
+                     % (d, i * per_dev, (i + 1) * per_dev,
+                        per_dev // chunk,
+                        per_dev * features * itemsize / 2**20))
+    # the allocation map — the analog of the reference's TRACE'd CUMALLOC
+    # registry (private.h:129-151), at verbosity 3
+    for name, arr in (("x", x), ("x_sq", x_sq), ("valid", valid),
+                      ("assign0", assign0)):
+        logger.trace("alloc %-8s %-14s %-9s %8.1f MB sharded over %d"
+                     % (name, arr.shape, arr.dtype, arr.nbytes / 2**20,
+                        topo.n))
     return Problem(topo=topo, logger=logger, n=n, n_pad=n_pad,
                    features=features, k=k, metric=metric, chunk=chunk,
                    dtype=dtype, x=x, x_sq=x_sq, valid=valid,

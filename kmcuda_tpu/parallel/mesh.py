@@ -86,6 +86,32 @@ class Topology:
     def put_replicated(self, arr) -> jax.Array:
         return jax.device_put(arr, self.replicated())
 
+    def memory_report(self) -> list:
+        """Per-device memory lines — the analog of the reference's per-GPU
+        ``used/total`` print at verbosity 2 (kmcuda.cc:172-185).  TPU
+        backends expose ``Device.memory_stats()``; backends without it
+        (CPU) report n/a."""
+        lines = []
+        for d in self.devices:
+            stats = None
+            try:
+                stats = d.memory_stats()
+            except Exception:
+                pass
+            if not stats or "bytes_in_use" not in stats:
+                lines.append("%s: memory stats n/a" % (d,))
+                continue
+            used = stats["bytes_in_use"] / 2**20
+            limit = stats.get("bytes_limit")
+            peak = stats.get("peak_bytes_in_use")
+            line = "%s: %.0f MB in use" % (d, used)
+            if limit:
+                line += " / %.0f MB limit" % (limit / 2**20)
+            if peak:
+                line += " (peak %.0f MB)" % (peak / 2**20)
+            lines.append(line)
+        return lines
+
     # -- step wrapping ------------------------------------------------------
 
     def shard_step(self, fn, in_specs, out_specs, donate_argnums=()):
