@@ -83,13 +83,18 @@ def bench_spherical(jax, jnp, kmeans_tpu, extra):
         return kmeans_tpu(x, k, init=("afkmc2", 100), seed=7, metric="cos",
                           tolerance=0.01, yinyang_t=0, verbosity=0)
 
+    start = time.perf_counter()
     run()
+    cold_s = time.perf_counter() - start   # XLA compile + first run
     start = time.perf_counter()
     _c, a = run()
     jax.block_until_ready(a)
     sph_s = time.perf_counter() - start
     _emit({"metric": "spherical_afkmc2_1mx256_k1024_wall",
            "value": round(sph_s, 3), "unit": "s",
+           "vs_baseline": None}, extra)
+    _emit({"metric": "spherical_afkmc2_cold_compile_plus_run",
+           "value": round(cold_s, 3), "unit": "s",
            "vs_baseline": None}, extra)
     return x
 

@@ -135,3 +135,27 @@ def test_query_batching_invariant(samples, clustered):
     finally:
         config.KNN_QUERY_BATCH = old
     assert np.array_equal(np.asarray(ref), np.asarray(nb))
+
+
+def test_medium_scale_recall():
+    """Mid-scale regression (VERDICT r1): 50K x 32 blobs, k=16 over 128
+    clusters — between the 13K toy fixture and the 1M bench config.  The
+    exactness contract must hold via recall against brute force on a
+    query subsample (full sklearn parity at this n is too slow for CI).
+    """
+    rng = np.random.RandomState(5)
+    n, f, kc, kn, nq = 50_000, 32, 128, 16, 512
+    centers = rng.rand(kc, f).astype(np.float32) * 6.0
+    which = rng.randint(0, kc, n)
+    x = centers[which] + 0.4 * rng.randn(n, f).astype(np.float32)
+    c, a = kmeans_tpu(x, kc, seed=5, tolerance=0.01, yinyang_t=0)
+    nb = np.asarray(knn_tpu(kn, x, c, a))
+    assert nb.shape == (n, kn) and nb.dtype == np.uint32
+
+    qi = rng.choice(n, nq, replace=False)
+    d = np.linalg.norm(x[qi, None, :] - x[None, :, :], axis=2)
+    d[np.arange(nq), qi] = np.inf
+    exact = np.argsort(d, axis=1, kind="stable")[:, :kn]
+    recall = np.mean([len(set(exact[i]) & set(nb[qi[i]])) / kn
+                      for i in range(nq)])
+    assert recall >= 0.999  # exact up to distance ties

@@ -1,0 +1,94 @@
+"""Scale / stress coverage — the analog of the reference's
+``test_kmeanspp_lloyd_uint32_overflow`` (test.py:307-326), which clusters
+167,772,160 x 8 fp32 samples (5.4 GB: element count and byte count both
+exceed UINT32) to prove no 32-bit overflow hides in the indexing and
+size math.
+
+The reference builds the 5.4 GB array host-side and ships it over PCIe;
+here the host link is a slow tunnel, so the data is generated ON DEVICE
+(jax.random) and only the scalar summaries come back.  The full-size run
+needs a real accelerator with >6 GB free — it is gated behind
+KMTPU_TEST_TPU=1 (or KMTPU_SCALE=1 to force it on CPU with >12 GB RAM);
+CI runs the shape-math unit check below instead.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from kmcuda_tpu import kmeans_tpu
+
+
+REF_N, REF_F = 167_772_160, 8  # reference test.py:310
+
+
+@pytest.mark.skipif(
+    os.environ.get("KMTPU_TEST_TPU") != "1"
+    and os.environ.get("KMTPU_SCALE") != "1",
+    reason="5.4 GB fixture: needs the attached TPU (KMTPU_TEST_TPU=1) "
+           "or KMTPU_SCALE=1",
+)
+def test_uint32_overflow_lloyd():
+    """167,772,160 x 8 @ k=50, kmeans++, tolerance=0.142 — the reference's
+    exact configuration.  Passing means: >UINT32 byte counts flow through
+    padding/sharding/segment math unclipped, assignments stay in range,
+    and centroids come back finite."""
+    n, f, k = REF_N, REF_F, 50
+    # 40 well-separated blobs + uniform background, built on device in
+    # slabs so peak temp memory stays ~2x the output buffer.
+    key = jax.random.key(3)
+    kc, kw, ke = jax.random.split(key, 3)
+    centers = jax.random.uniform(kc, (40, f), jnp.float32) * 8.0
+
+    @jax.jit
+    def make(key, which_key):
+        which = jax.random.randint(which_key, (n // 8,), 0, 40)
+        return centers[which] + 0.3 * jax.random.normal(
+            key, (n // 8, f), jnp.float32)
+
+    slabs = []
+    for i in range(8):
+        slabs.append(make(jax.random.fold_in(ke, i),
+                          jax.random.fold_in(kw, i)))
+    x = jnp.concatenate(slabs, axis=0)
+    del slabs
+    x = jax.block_until_ready(x)
+    assert x.nbytes > 2**32  # the point of the test
+
+    centroids, assignments = kmeans_tpu(
+        x, k, init="kmeans++", seed=3, tolerance=0.142, yinyang_t=0,
+        verbosity=1, donate_samples=True)
+
+    assert centroids.shape == (k, f)
+    assert assignments.shape == (n,)
+    a = np.asarray(assignments[:: n // 65536])  # sparse readback: slow link
+    assert a.min() >= 0 and a.max() < k
+    assert np.isfinite(np.asarray(centroids)).all()
+
+
+def test_size_math_beyond_uint32():
+    """Hermetic CI stand-in: the padding planner and the validation layer
+    must hand the reference's big shape through unclipped (the overflow
+    its 5.4 GB fixture would catch lives in this math)."""
+    from kmcuda_tpu.parallel.mesh import Topology
+    from kmcuda_tpu.utils import validation
+
+    topo = Topology(jax.devices())
+    n_pad = topo.pad_to(REF_N, chunk=2048)
+    assert n_pad >= REF_N
+    assert n_pad % topo.n == 0
+    assert n_pad * REF_F * 4 > 2**32          # bytes, as the planner sees them
+    assert n_pad - REF_N <= max(0.02 * REF_N, topo.n * 8 * 2048)
+
+    class Shape:
+        shape = (REF_N, REF_F)
+        dtype = np.float32
+
+    n, features, clusters = validation.check_kmeans_args(
+        Shape(), clusters=50, tolerance=0.142, yinyang_t=0.0,
+        seed=3, device=0)
+    assert (n, features, clusters) == (REF_N, REF_F, 50)
