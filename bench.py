@@ -124,21 +124,37 @@ def bench_knn(jax, jnp, kmeans_tpu, knn_tpu, extra):
     frac = [float(l.split()[1]) for l in buf.getvalue().splitlines()
             if l.startswith("calculated ")][-1]
 
-    # recall@16 against on-device brute force over a query subsample
-    nq = 1024
-    qi = jax.random.permutation(jax.random.key(13), n)[:nq]
-    xq = x[qi]
+    # recall@16 against on-device brute force over a query subsample.
+    # x and qi are ARGUMENTS, not closures: a closed-over 1M x 256 array
+    # is embedded into the HLO as a literal and the tunnel's
+    # remote-compile RPC rejects the GB-sized request body (HTTP 413).
+    # Chunked so the (nq, n) distance block stays ~1 GB.  The baseline
+    # matmul MUST be Precision.HIGHEST: this data has |x|^2 ~ 17000 vs
+    # nearest-neighbor d^2 ~ 128, and a default (bf16-input) MXU dot-form
+    # baseline mis-ranks ~30% of true neighbors — the library's own
+    # scores run at HIGHEST for fp32 inputs (ops/distance.mm_precision).
+    nq, qc = 1024, 256
 
     @jax.jit
-    def exact_top(xq):
-        prod = xq @ x.T
-        sq = (jnp.sum(xq * xq, 1)[:, None] + jnp.sum(x * x, 1)[None, :]
-              - 2.0 * prod)
-        sq = sq.at[jnp.arange(nq), qi].set(jnp.inf)
-        _d, idx = jax.lax.top_k(-sq, kn)
-        return idx
+    def exact_top(xq, qi, x):
+        def chunk(carry, inp):
+            xqb, qib = inp
+            prod = jnp.dot(xqb, x.T,
+                           precision=jax.lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32)
+            sq = (jnp.sum(xqb * xqb, 1)[:, None]
+                  + jnp.sum(x * x, 1)[None, :] - 2.0 * prod)
+            sq = sq.at[jnp.arange(qc), qib].set(jnp.inf)
+            _d, idx = jax.lax.top_k(-sq, kn)
+            return carry, idx
+        _, idx = jax.lax.scan(
+            chunk, None, (xq.reshape(nq // qc, qc, -1),
+                          qi.reshape(nq // qc, qc)))
+        return idx.reshape(nq, kn)
 
-    exact = np.asarray(exact_top(xq))
+    qi = jax.random.permutation(jax.random.key(13), n)[:nq]
+    xq = x[qi]
+    exact = np.asarray(exact_top(xq, qi, x))
     got = np.asarray(nb)[np.asarray(qi)]
     recall = float(np.mean([
         len(set(exact[i]) & set(got[i])) / kn for i in range(nq)]))

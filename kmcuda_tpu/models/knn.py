@@ -297,9 +297,12 @@ def run(problem, centroids, assignments, k_neighbors: int):
     tile_m = _pick_tile_m(p.n, p.k)
     # finer query chunks than the k-means scan: the tile-skip test is
     # per-chunk ("any query still needs this tile"), so smaller chunks
-    # prune more
-    q_chunk = config.KNN_TILE_Q if p.chunk % config.KNN_TILE_Q == 0 \
-        else p.chunk
+    # prune more.  Chunking here is over the padded cluster-major layout
+    # (m_total is quantized to lcm(n_dev * q_chunk, tile_m) below), not
+    # over p.x, so q_chunk is independent of p.chunk.  Matching it to
+    # tile_m keeps each chunk's queries within ~one cluster, which
+    # tightens both the chunk-min tile bound and tau_max.
+    q_chunk = min(config.KNN_TILE_Q, tile_m)
 
     # cluster-major padded layout size: every cluster padded to a tile
     # boundary, plus at least one guaranteed-unused filler tile (the

@@ -89,7 +89,7 @@ def test_pruning_fraction_golden(samples, clustered, capsys):
     out = capsys.readouterr().out
     frac = [float(line.split()[1]) for line in out.splitlines()
             if line.startswith("calculated ")][-1]
-    assert frac == pytest.approx(0.5774, abs=0.03)
+    assert frac == pytest.approx(0.286, abs=0.03)
 
 
 def test_large_k_compiles_and_is_exact(samples, clustered):
