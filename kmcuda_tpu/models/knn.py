@@ -141,53 +141,72 @@ def _build_search(mesh, k, metric, chunk, tile_m):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_clusters", "metric", "chunk"))
-def _cluster_structure(x, x_sq, valid, assign, centroids, *, n_clusters,
-                       metric, chunk):
-    """Exact own-centroid distances, cluster radiuses (knn.cu:20-58),
-    cluster distance matrix (knn.cu:62-131, here one matmul) and the
-    cluster-sort permutation (the CSR build of kmcuda.cc:648-691)."""
-    nl, f = x.shape
+    jax.jit, static_argnames=("n_clusters", "metric"))
+def _sanitize_and_cd(valid, assign, centroids, *, n_clusters, metric):
+    """Sanitized cluster ids (k = invalid row) and the cluster center
+    distance matrix (knn.cu:62-131, here one matmul)."""
     k = n_clusters
     a = jnp.where(valid & (assign < k), assign, jnp.uint32(k))
-    # NaN-free lookup tables (0 * NaN = NaN would poison the one-hot
-    # matmul below; dead centroids are NaN rows)
-    c_raw = jnp.concatenate(
-        [centroids.astype(jnp.float32), jnp.zeros((1, f), jnp.float32)])
-    c_ext = jnp.where(jnp.isfinite(c_raw), c_raw, 0.0)
-    c_sq_raw = jnp.sum(c_raw * c_raw, axis=1)
-    c_sq_ext = jnp.where(jnp.isfinite(c_sq_raw), c_sq_raw,
-                         config.PAD_PENALTY)
-    nchunks = nl // chunk
-    iota_k1 = lax.broadcasted_iota(jnp.uint32, (1, k + 1), 1)
+    cf = centroids.astype(jnp.float32)
+    return a, D.pairwise_distance(cf, cf, metric)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "tile_m", "tg", "metric"))
+def _tile_own_dist(xm, m_spos, tile_cluster, c_rank, *, k, tile_m, tg,
+                   metric):
+    """Exact own-centroid distance of every padded row, and the cluster
+    radiuses (knn.cu:20-58), computed per single-cluster tile of the
+    cluster-major layout.
+
+    Every tile belongs to one cluster, so this is O(n*f) subtract-square
+    work plus one tiny centroid lookup per tile — the former whole-array
+    one-hot pass cost O(n*k*f) MXU work (a full extra assignment pass)
+    and its dot form carried |x|^2-scale rounding; the subtract-square
+    form's error scales with the distance itself (same reasoning as the
+    search's exact rescore, ops/knn_prune.search).
+
+    Returns (q_own (M,) fp32 — 0 for pad rows, radii (k,) fp32 — 0 for
+    clusters with no members, in rank space).
+    """
+    m_total, f = xm.shape
+    nt = m_total // tile_m
+    # NaN-free lookup table (dead centroids are NaN rows; they own no
+    # tiles, so their zeroed rows are never read by a valid member)
+    c_ext = jnp.concatenate(
+        [c_rank.astype(jnp.float32), jnp.zeros((1, f), jnp.float32)])
+    c_ext = jnp.where(jnp.isfinite(c_ext), c_ext, 0.0)
+    iota_k1 = lax.broadcasted_iota(jnp.int32, (1, k + 1), 1)
+    tc = tile_cluster.astype(jnp.int32)
 
     def body(_, inp):
-        xb, xsqb, ab = inp
-        oh = (ab[:, None] == iota_k1).astype(jnp.float32)
-        # value lookups at HIGHEST: DEFAULT would bf16-round the table
-        cb = jnp.dot(oh, c_ext, precision=lax.Precision.HIGHEST)
-        prod = jnp.sum(xb.astype(jnp.float32) * cb, axis=1)
+        xb, cb, vb = inp  # (tg, tile_m, f), (tg,), (tg, tile_m)
+        oh = (cb[:, None] == iota_k1).astype(jnp.float32)
+        # value lookup at HIGHEST: DEFAULT would bf16-round the table
+        crow = jnp.dot(oh, c_ext, precision=lax.Precision.HIGHEST)
+        diff = xb.astype(jnp.float32) - crow[:, None, :]
+        chord = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
         if metric == D.DistanceMetric.L2:
-            score = jnp.dot(oh, c_sq_ext,
-                            precision=lax.Precision.HIGHEST) - 2.0 * prod
+            d = chord
         else:
-            score = -prod
-        score = jnp.where(jnp.isfinite(score), score, config.PAD_PENALTY)
-        return None, D.finalize_distance(score, xsqb, metric)
+            # exact angle for unit vectors; precise near 0 unlike
+            # acos(dot) (same form as the search rescore)
+            d = 2.0 * jnp.arcsin(jnp.clip(chord * 0.5, 0.0, 1.0))
+        d = jnp.where(vb, d, 0.0)
+        return None, (d, jnp.max(d, axis=1))
 
-    _, d_own = lax.scan(
+    _, (d_own, tmax) = lax.scan(
         body, None,
-        (x.reshape(nchunks, chunk, f), x_sq.reshape(nchunks, chunk),
-         a.reshape(nchunks, chunk)))
-    d_own = d_own.reshape(nl)
-    radii = jnp.zeros((k,), jnp.float32).at[a].max(
-        jnp.where(a < k, d_own, 0.0), mode="drop")
-    cd = D.pairwise_distance(c_raw[:-1], c_raw[:-1], metric)
-    return a, d_own, radii, cd
+        (xm.reshape(nt // tg, tg, tile_m, f),
+         tc.reshape(nt // tg, tg),
+         (m_spos >= 0).reshape(nt // tg, tg, tile_m)))
+    radii = jnp.zeros((k,), jnp.float32).at[tc].max(
+        tmax.reshape(nt), mode="drop")
+    return d_own.reshape(m_total), radii
 
 
 @jax.jit
-def _tour_relabel(a, cd, radii):
+def _tour_relabel(a, cd):
     """Relabel clusters along a greedy nearest-neighbor tour of the
     cluster centers.
 
@@ -200,9 +219,9 @@ def _tour_relabel(a, cd, radii):
     chunk's worst running kth distance).  Pure wall-time/pruning
     optimization — results are exact either way.
 
-    Returns (b, sorder, cd_r, radii_r): rank-space cluster ids, the sort
-    permutation by rank, and the CD/radius tables permuted into rank
-    space.
+    Returns (b, sorder, cd_r, perm): rank-space cluster ids, the sort
+    permutation by rank, the CD table permuted into rank space, and the
+    rank -> original-cluster permutation (for permuting the centroids).
     """
     k = cd.shape[0]
     i32 = jnp.int32
@@ -225,16 +244,15 @@ def _tour_relabel(a, cd, radii):
     b = jnp.where(a < k, rank[jnp.minimum(a, k - 1).astype(i32)],
                   i32(k)).astype(jnp.uint32)
     sorder = jnp.argsort(b, stable=True).astype(i32)
-    return b, sorder, cd[perm][:, perm], radii[perm]
+    return b, sorder, cd[perm][:, perm], perm
 
 
 @functools.partial(jax.jit, static_argnames=("k", "m_total"))
-def _scatter_padded(x_sorted, d_own_sorted, a_sorted, padded_pos, *, k,
-                    m_total):
+def _scatter_padded(x_sorted, a_sorted, padded_pos, *, k, m_total):
     """Scatter the cluster-sorted members into the cluster-major padded
     layout.  One array serves as both the replicated member set and the
     sharded query set.  Invalid rows (cluster id k) scatter out of range
-    and are dropped; pad rows keep m_spos = -1, d_own = 0, assign = k."""
+    and are dropped; pad rows keep m_spos = -1, assign = k."""
     n_pad, f = x_sorted.shape
     i32 = jnp.int32
     iota_n = lax.broadcasted_iota(i32, (n_pad, 1), 0)[:, 0]
@@ -242,11 +260,9 @@ def _scatter_padded(x_sorted, d_own_sorted, a_sorted, padded_pos, *, k,
         x_sorted, mode="drop")
     m_spos = jnp.full((m_total,), -1, i32).at[padded_pos].set(
         iota_n, mode="drop")
-    q_own = jnp.zeros((m_total,), jnp.float32).at[padded_pos].set(
-        d_own_sorted, mode="drop")
     q_assign = jnp.full((m_total,), np.uint32(k)).at[padded_pos].set(
         a_sorted.astype(jnp.uint32), mode="drop")
-    return xm, m_spos, q_own, q_assign
+    return xm, m_spos, q_assign
 
 
 @functools.lru_cache(maxsize=64)
@@ -321,20 +337,22 @@ def run(problem, centroids, assignments, k_neighbors: int):
                        max(1, n_tiles // 16)))
 
     cents = jnp.asarray(centroids, jnp.float32)
-    a, d_own, radii, cd = _cluster_structure(
-        p.x, p.x_sq, p.valid, assignments, cents, n_clusters=p.k,
-        metric=p.metric, chunk=p.chunk)
-    b, sorder, cd, radii = _tour_relabel(a, cd, radii)
+    a, cd = _sanitize_and_cd(p.valid, assignments, cents, n_clusters=p.k,
+                             metric=p.metric)
+    b, sorder, cd, perm = _tour_relabel(a, cd)
     b_sorted = b[sorder]
     padded_pos, tile_cluster, tile_nvalid = KP.cluster_layout(
         b_sorted, k=p.k, tile_m=tile_m, n_tiles=n_tiles)
-    xm, m_spos, q_own, q_assign = _scatter_padded(
-        p.x[sorder], d_own[sorder], b_sorted, padded_pos, k=p.k,
-        m_total=m_total)
+    xm, m_spos, q_assign = _scatter_padded(
+        p.x[sorder], b_sorted, padded_pos, k=p.k, m_total=m_total)
+    tg = next(d for d in (8, 4, 2, 1) if n_tiles % d == 0)
+    q_own, radii = _tile_own_dist(
+        xm, m_spos, tile_cluster, cents[perm], k=p.k, tile_m=tile_m,
+        tg=tg, metric=p.metric)
     big = jnp.float32(KP.BIG_BOUND)
     cd_ext = jnp.nan_to_num(cd, nan=big, posinf=big)
     cd_ext = jnp.concatenate([cd_ext, jnp.full((1, p.k), big)], axis=0)
-    r_ext = jnp.nan_to_num(radii)
+    r_ext = radii
 
     # the padded array serves both sides: sharded as queries, replicated
     # as members (no copy on a single device)
