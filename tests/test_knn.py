@@ -121,6 +121,32 @@ def test_cosine_knn(samples):
     assert (nb != exact).mean() < 0.01
 
 
+def test_bf16_knn(samples):
+    """bf16 storage end-to-end — the analog of the reference's fp16 knn
+    test (test.py:643-651: fp16 kmeans + knn vs sklearn, < 500
+    mismatches on the 13K fixture).  The baseline is brute force over
+    the same bf16-rounded values, so every mismatch beyond the budget is
+    a dropped neighbor, not a storage-rounding artifact."""
+    import jax.numpy as jnp
+
+    xb = jnp.asarray(samples).astype(jnp.bfloat16)
+    c, a = kmeans_tpu(xb, 50, seed=777, tolerance=0.01, yinyang_t=0)
+    nb = np.asarray(knn_tpu(10, xb, c, a))
+    x32 = np.asarray(xb.astype(jnp.float32))
+    bn = _expected(x32, 10)
+    assert nb.dtype == np.uint32
+    # bf16 quantizes this 2D fixture onto a coarse grid, creating far
+    # more exact distance ties than fp16 does (the reference's fp16
+    # budget is 500 index mismatches) — so assert on the sorted
+    # distance profile instead: same kth distances == no neighbor was
+    # dropped; tie permutations are free
+    rows = np.arange(len(x32))[:, None]
+    d_ours = np.linalg.norm(x32[rows] - x32[nb], axis=2)
+    d_ref = np.linalg.norm(x32[rows] - x32[bn], axis=2)
+    np.testing.assert_allclose(np.sort(d_ours, 1), np.sort(d_ref, 1),
+                               rtol=1e-3, atol=1e-5)
+
+
 def test_query_batching_invariant(samples, clustered):
     """The host-level dispatch batching (config.KNN_QUERY_BATCH) must not
     change results — only how many device programs the search is split
