@@ -108,6 +108,27 @@ def test_large_k_compiles_and_is_exact(samples, clustered):
             assert d_ours == pytest.approx(d_ref, rel=1e-5)
 
 
+def test_k_exceeds_cluster_size():
+    """kn larger than every cluster: each query MUST pull neighbors from
+    several clusters, so the buffer sizing, the walk stop (tau stays inf
+    until kn candidates exist), and the cross-cluster merge are all on
+    the exact path — the regime the reference's gmem-heap variant covers
+    (knn.cu:246-318)."""
+    rng = np.random.RandomState(1)
+    x = np.concatenate([rng.rand(200, 2) + [3 * i, 0] for i in range(30)]
+                       ).astype(np.float32)
+    c, a = kmeans_tpu(x, 30, seed=2, tolerance=0.01, yinyang_t=0)
+    nb = np.asarray(knn_tpu(256, x, c, a))
+    bn = _expected(x, 256)
+    mism = nb != bn
+    assert mism.sum() < 50
+    rows, cols = np.nonzero(mism)
+    for r, q in zip(rows[:30], cols[:30]):  # mismatches must be ties
+        d_ours = np.linalg.norm(x[r] - x[nb[r, q]])
+        d_ref = np.linalg.norm(x[r] - x[bn[r, q]])
+        assert d_ours == pytest.approx(d_ref, rel=1e-5)
+
+
 def test_cosine_knn(samples):
     rng = np.random.RandomState(3)
     x = rng.randn(6000, 8).astype(np.float32)
