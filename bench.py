@@ -40,9 +40,10 @@ def _emit(record, extra):
 
 def bench_100k(jax, jnp, kmeans_tpu, extra):
     n, f, k, iters = 100_000, 256, 1024, 15
-    rng = np.random.RandomState(0)
-    samples = jax.device_put(jnp.asarray(rng.rand(n, f), jnp.float32))
-    jax.block_until_ready(samples)
+    # generated ON DEVICE like every other stage: 100 MB through the
+    # host tunnel is 25 s when healthy and unbounded when degraded
+    samples = jax.random.uniform(jax.random.key(0), (n, f), jnp.float32)
+    samples = jax.block_until_ready(samples)
 
     def run(yy):
         return kmeans_tpu(samples, k, init="random", seed=1,
