@@ -40,6 +40,7 @@ from kmcuda_tpu.parallel.mesh import Topology
 from kmcuda_tpu.utils import validation as V
 from kmcuda_tpu.utils.errors import KMTPUInvalidArguments
 from kmcuda_tpu.utils.logging import Logger
+from kmcuda_tpu.utils.profiling import profile_window
 
 
 def _parse_metric(metric):
@@ -131,28 +132,34 @@ def kmeans_tpu(samples, clusters, tolerance=0.01, init="k-means++",
     if seed is None:
         seed = int(time.time())
     key = jax.random.key(int(seed))
-    centroids = I.init_centroids(problem, init_e, key,
-                                 afkmc2_m=afkmc2_m, imported=imported)
-    assignments = L.new_assignments(problem)
+    # the profiler window covers init + iterate + average distance, the
+    # same span the reference brackets with cudaProfilerStart/Stop
+    # (kmcuda.cc:478-480,502-504)
+    with profile_window(logger):
+        centroids = I.init_centroids(problem, init_e, key,
+                                     afkmc2_m=afkmc2_m, imported=imported)
+        assignments = L.new_assignments(problem)
 
-    if verbosity > 1:
-        # per-device memory stats after the working set is resident — the
-        # analog of the reference's verbosity-2 GPU memory print
-        # (kmcuda.cc:472-474)
-        for line in topo.memory_report():
-            logger.debug(line)
+        if verbosity > 1:
+            # per-device memory stats after the working set is resident —
+            # the analog of the reference's verbosity-2 GPU memory print
+            # (kmcuda.cc:472-474)
+            for line in topo.memory_report():
+                logger.debug(line)
 
-    groups = int(yinyang_t * k)
-    if groups > 0 and tolerance < config.YINYANG_MIN_TOLERANCE:
-        from kmcuda_tpu.models import yinyang as Y
-        centroids, assignments, _best, iters = Y.run(
-            problem, centroids, assignments, tolerance, groups,
-            max_iterations=max_iterations, key=key)
-    else:
-        centroids, assignments, _best, iters, _ = L.run(
-            problem, centroids, assignments, tolerance,
-            max_iterations=max_iterations)
-    logger.debug("finished in %d iterations" % iters)
+        groups = int(yinyang_t * k)
+        if groups > 0 and tolerance < config.YINYANG_MIN_TOLERANCE:
+            from kmcuda_tpu.models import yinyang as Y
+            centroids, assignments, _best, iters = Y.run(
+                problem, centroids, assignments, tolerance, groups,
+                max_iterations=max_iterations, key=key)
+        else:
+            centroids, assignments, _best, iters, _ = L.run(
+                problem, centroids, assignments, tolerance,
+                max_iterations=max_iterations)
+        logger.debug("finished in %d iterations" % iters)
+        ad = (L.mean_assigned_distance(problem, centroids, assignments)
+              if average_distance else None)
 
     if isinstance(samples, jax.Array):
         out_c = centroids
@@ -168,7 +175,6 @@ def kmeans_tpu(samples, clusters, tolerance=0.01, init="k-means++",
         out_a = np.asarray(out_a).astype(np.uint32)
     if not average_distance:
         return out_c, out_a
-    ad = L.mean_assigned_distance(problem, centroids, assignments)
     return out_c, out_a, ad
 
 
@@ -203,6 +209,7 @@ def knn_tpu(k, samples, centroids, assignments, metric="L2", device=0,
         # (kmcuda.cc:637-639)
         for line in topo.memory_report():
             logger.debug(line)
-    nbr, _dist = KNN.run(problem, cents, a_pad, k)
+    with profile_window(logger):
+        nbr, _dist = KNN.run(problem, cents, a_pad, k)
     # uint32 either way, like the reference (python.cc:286-313)
     return _export(nbr[:n].astype(jnp.uint32), samples)

@@ -354,3 +354,29 @@ def test_public_api_donation_consumed():
     assert int(jnp.max(a)) < 50
     with pytest.raises(RuntimeError):
         np.asarray(x_dev)
+
+
+def test_profile_window(samples, tmp_path, monkeypatch, capsys):
+    """KMTPU_PROFILE=<dir> brackets the compute span with a jax.profiler
+    trace — the runtime analog of the reference's PROFILE build flag
+    (kmcuda.cc:12-14,478-480,502-504).  Unset, no trace dir is created."""
+    import os
+
+    from kmcuda_tpu import kmeans_tpu as km
+
+    trace_dir = tmp_path / "trace"
+    monkeypatch.setenv("KMTPU_PROFILE", str(trace_dir))
+    km(samples, 50, init="random", seed=5, tolerance=0.01, yinyang_t=0,
+       verbosity=1, max_iterations=2)
+    out = capsys.readouterr().out
+    assert "profiler trace written to" in out
+    profiles = []
+    for root, _dirs, files in os.walk(trace_dir):
+        profiles += [f for f in files if f.endswith((".xplane.pb", ".json.gz",
+                                                     ".trace.json.gz"))]
+    assert profiles, "no profiler artifacts under %s" % trace_dir
+
+    monkeypatch.delenv("KMTPU_PROFILE")
+    km(samples, 50, init="random", seed=5, tolerance=0.01, yinyang_t=0,
+       verbosity=1, max_iterations=1)
+    assert "profiler trace" not in capsys.readouterr().out
