@@ -21,6 +21,7 @@ reference excludes CUDA context setup).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -29,6 +30,14 @@ import numpy as np
 BASE_LLOYD_100K = 9.2          # s, 1 GPU (README.md:188-191)
 BASE_8M_LLOYD = 44 * 60.0      # s, 2 GPUs (README.md:212-218)
 BASE_8M_YY = 36 * 60.0         # s, 2 GPUs
+
+#: KMTPU_BENCH_SMOKE=1 shrinks every config so the full matrix's plumbing
+#: (argument paths, log parsing, recall baseline, JSON emission) can be
+#: validated on a CPU backend in minutes; timings are then meaningless and
+#: vs_baseline must be ignored.  KMTPU_BENCH_CPU=1 additionally forces the
+#: CPU backend (the axon env pins JAX_PLATFORMS, so an env override alone
+#: does not work — jax.config must be set before first backend use).
+SMOKE = os.environ.get("KMTPU_BENCH_SMOKE", "") not in ("", "0")
 
 
 def _emit(record, extra):
@@ -39,7 +48,8 @@ def _emit(record, extra):
 
 
 def bench_100k(jax, jnp, kmeans_tpu, extra):
-    n, f, k, iters = 100_000, 256, 1024, 15
+    n, f, k, iters = (100_000, 256, 1024, 15) if not SMOKE else \
+                     (8_192, 32, 64, 3)
     # generated ON DEVICE like every other stage: 100 MB through the
     # host tunnel is 25 s when healthy and unbounded when degraded
     samples = jax.random.uniform(jax.random.key(0), (n, f), jnp.float32)
@@ -74,7 +84,7 @@ def bench_100k(jax, jnp, kmeans_tpu, extra):
 def bench_spherical(jax, jnp, kmeans_tpu, extra):
     # BASELINE config: angular metric on L2-normalized embeddings,
     # AFK-MC2 seeding (m=100).  No published kmcuda number.
-    n, f, k = 1_000_000, 256, 1024
+    n, f, k = (1_000_000, 256, 1024) if not SMOKE else (16_384, 32, 64)
     key = jax.random.key(7)
     x = jax.random.normal(key, (n, f), jnp.float32)
     x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
@@ -102,7 +112,8 @@ def bench_spherical(jax, jnp, kmeans_tpu, extra):
 
 def bench_knn(jax, jnp, kmeans_tpu, knn_tpu, extra):
     # BASELINE config: k-NN k=16 over a pre-clustered 1M x 256 set.
-    n, f, k, kn = 1_000_000, 256, 1024, 16
+    n, f, k, kn = (1_000_000, 256, 1024, 16) if not SMOKE else \
+                  (16_384, 32, 64, 8)
     key = jax.random.key(11)
     kc, kx, ke = jax.random.split(key, 3)
     centers = jax.random.uniform(kc, (k, f), jnp.float32) * 10.0
@@ -140,7 +151,7 @@ def bench_knn(jax, jnp, kmeans_tpu, knn_tpu, extra):
     # nearest-neighbor d^2 ~ 128, and a default (bf16-input) MXU dot-form
     # baseline mis-ranks ~30% of true neighbors — the library's own
     # scores run at HIGHEST for fp32 inputs (ops/distance.mm_precision).
-    nq, qc = 1024, 256
+    nq, qc = (1024, 256) if not SMOKE else (256, 128)
 
     @jax.jit
     def exact_top(xq, qi, x):
@@ -183,7 +194,7 @@ def bench_8m_bf16(jax, jnp, kmeans_tpu, extra):
     # on TWO GPUs (93 k-means++ iterations; we use random init — init
     # cost is excluded from the comparison either way, the bulk is the
     # iteration loop).
-    n, f, k = 8_000_000, 256, 1024
+    n, f, k = (8_000_000, 256, 1024) if not SMOKE else (32_768, 32, 64)
     x = jax.random.uniform(jax.random.key(17), (n, f), jnp.bfloat16)
     x = jax.block_until_ready(x)
 
@@ -203,6 +214,9 @@ def bench_8m_bf16(jax, jnp, kmeans_tpu, extra):
 
 def main():
     import jax
+
+    if os.environ.get("KMTPU_BENCH_CPU", "") == "1":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from kmcuda_tpu import kmeans_tpu, knn_tpu

@@ -182,7 +182,9 @@ def knn_tpu(k, samples, centroids, assignments, metric="L2", device=0,
             verbosity=0, donate_samples=False):
     """Exact k-nearest-neighbors of every sample, using the k-means
     structure for pruning.  Returns (n, k) neighbor indices sorted by
-    ascending distance, excluding the sample itself."""
+    ascending distance, excluding the sample itself.  Rows with non-finite
+    features (which k-means assigned cluster id == n_clusters) come back
+    as the sentinel 0xFFFFFFFF."""
     n, features, k, n_clusters = V.check_knn_args(
         k, samples, centroids, assignments, device)
     metric_e = _parse_metric(metric)

@@ -421,8 +421,12 @@ def run(problem, centroids, assignments, k_neighbors: int):
     nbr_orig = jnp.where(
         nbr_pad >= 0, orig_of_padded[jnp.maximum(nbr_pad, 0)], -1)
     n_pad, kk = p.n_pad, k_neighbors
-    out_n = jnp.zeros((n_pad, kk), jnp.int32).at[orig_of_padded].set(
+    # invalid (NaN/padding) query rows were scatter-dropped from the padded
+    # layout, so nothing writes them back here: initialize with the -1
+    # sentinel (0xFFFFFFFF after the public uint32 cast) / +inf so they are
+    # distinguishable from "nearest neighbor is sample 0"
+    out_n = jnp.full((n_pad, kk), jnp.int32(-1)).at[orig_of_padded].set(
         nbr_orig, mode="drop")
-    out_d = jnp.zeros((n_pad, kk), jnp.float32).at[orig_of_padded].set(
+    out_d = jnp.full((n_pad, kk), INF).at[orig_of_padded].set(
         dist, mode="drop")
     return out_n, out_d

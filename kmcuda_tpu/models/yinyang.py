@@ -90,6 +90,24 @@ def _group_kmeans(c_in, key, tol_count, *, groups, metric, chunk):
     return g_assign, prefs.astype(jnp.int32)
 
 
+def _group_cap(k: int, groups: int) -> int:
+    """Per-group centroid capacity.  The 1.15 slack trades panel padding
+    (the group-minima matmul costs G*cap/k of a Lloyd matmul) against how
+    many overflow centroids get rehomed to their second-closest group
+    (slightly looser bounds); measured at k=1024/G=102, 1.3 + round-to-4
+    gave 59% padding vs 17% for 1.15 + round-to-2 with no observable
+    filter degradation.  Round-to-2 stabilizes the jit cache across runs.
+
+    The local filter looks flat slots up via an fp32 one-hot matvec
+    (ops.yinyang, flat_slot_f): slot ids must be exact in fp32
+    (groups * cap < 2**24) or the own-slot exclusion silently penalizes
+    the wrong panel slot and the global filter stops pruning (results
+    stay correct, speed does not).  G * cap ~ 1.15 k, so this only trips
+    beyond k ~ 14.6M clusters; run() checks and falls back to Lloyd."""
+    cap = max(2, int(np.ceil(1.15 * k / groups)))
+    return int(-(-cap // 2) * 2)
+
+
 def _group_centroids(problem, centroids, groups, key):
     """Recursive k-means over the centroids (kmeans.cu:1061-1094), then
     capacity balancing for the padded group layout.
@@ -113,22 +131,14 @@ def _group_centroids(problem, centroids, groups, key):
     # NaN centroids got the invalid marker == groups; they stay groupless.
     prefs = np.asarray(prefs)[:k]
 
-    # capacity slack trades panel padding (the group-minima matmul costs
-    # G*cap/k of a Lloyd matmul) against how many overflow centroids get
-    # rehomed to their second-closest group (slightly looser bounds);
-    # measured at k=1024/G=102, 1.3 + round-to-4 gave 59% padding vs 17%
-    # for 1.15 + round-to-2 with no observable filter degradation
-    cap = max(2, int(np.ceil(1.15 * k / groups)))
-    cap = int(-(-cap // 2) * 2)  # stabilize jit cache across runs
-    # the local filter looks flat slots up via an fp32 one-hot matvec
-    # (ops.yinyang, flat_slot_f): slot ids must be exact in fp32, or the
-    # own-slot exclusion silently penalizes the wrong panel slot and the
-    # global filter stops pruning (results stay correct, speed does not).
-    # G * cap ~ 1.15 k, so this only trips beyond k ~ 14.6M clusters.
-    assert groups * cap < 2 ** 24, (
-        "yinyang flat slot ids (%d) exceed fp32 exact-integer range; "
-        "run with yinyang_t=0 (Lloyd) at this cluster count"
-        % (groups * cap))
+    cap = _group_cap(k, groups)
+    if groups * cap >= 2 ** 24:
+        # run() falls back to Lloyd before ever calling this; kept as a
+        # real raise (not assert — python -O strips asserts) because a
+        # silent overflow here corrupts the own-slot exclusion
+        raise AssertionError(
+            "yinyang flat slot ids (%d) exceed fp32 exact-integer range"
+            % (groups * cap))
     sizes = np.zeros(groups, dtype=np.int64)
     members: list[list[int]] = [[] for _ in range(groups)]
     # first pass: keep everyone whose group has room (ascending index for
@@ -181,6 +191,17 @@ def run(problem, centroids, assignments, tolerance, groups,
     p = problem
     if max_iterations is None:
         max_iterations = config.DEFAULT_MAX_ITERATIONS
+    if groups * _group_cap(p.k, groups) >= 2 ** 24:
+        # beyond ~14.6M clusters the flat-slot lookup loses fp32 exactness
+        # and the global filter stops pruning — Yinyang could only lose to
+        # Lloyd, so run Lloyd (identical results, see _group_cap)
+        p.logger.warning(
+            "yinyang: flat slot ids (%d) exceed the fp32 exact-integer "
+            "range at %d clusters; running Lloyd instead"
+            % (groups * _group_cap(p.k, groups), p.k))
+        c, a, best, iters, _ = L.run(p, centroids, assignments, tolerance,
+                                     max_iterations=max_iterations)
+        return c, a, best, iters
     p.logger.debug(
         "yinyang: %d groups; draft Lloyd until < %.0f%% reassignments"
         % (groups, config.YINYANG_DRAFT_REASSIGNMENTS * 100))

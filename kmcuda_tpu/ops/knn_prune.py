@@ -289,10 +289,23 @@ def search(xq, xq_sq, q_own, q_assign, xm, m_spos, cd_ext, r_ext,
                 jnp.min(d, axis=1) <= best_d[:, kk - 1])
 
             def merge(_):
-                kc = min(kk, group * tile_m)
-                neg_d, col = lax.top_k(-d, kc)
-                cat_d = jnp.concatenate([best_d, -neg_d], axis=1)
-                cat_i = jnp.concatenate([best_i, mpos[col]], axis=1)
+                # top_k PER TILE, not over the whole group block: top_k
+                # resolves distance ties by lower column, which is the
+                # lower id only when columns ascend in id — true within
+                # one tile, not across the group's bound-ordered tiles.
+                # The per-tile kc survivors then meet in one (distance,
+                # id)-lexicographic sort, so the exact tie-break contract
+                # holds for any group size.
+                kc = min(kk, tile_m)
+                dg = d.reshape(d.shape[0], group, tile_m)
+                neg_d, col = lax.top_k(-dg, kc)          # (nbq, group, kc)
+                cand_i = js[None, :, None] * tile_m + col
+                cat_d = jnp.concatenate(
+                    [best_d, (-neg_d).reshape(d.shape[0], group * kc)],
+                    axis=1)
+                cat_i = jnp.concatenate(
+                    [best_i, cand_i.reshape(d.shape[0], group * kc)],
+                    axis=1)
                 return select_k(cat_d, cat_i, kk)
 
             def keep(_):

@@ -200,9 +200,60 @@ def test_medium_scale_recall():
     assert nb.shape == (n, kn) and nb.dtype == np.uint32
 
     qi = rng.choice(n, nq, replace=False)
-    d = np.linalg.norm(x[qi, None, :] - x[None, :, :], axis=2)
-    d[np.arange(nq), qi] = np.inf
-    exact = np.argsort(d, axis=1, kind="stable")[:, :kn]
+    # chunked brute force: the one-shot (nq, n, f) broadcast is ~3 GB and
+    # can OOM the CI runner
+    exact = np.empty((nq, kn), np.int64)
+    for s in range(0, nq, 64):
+        qb = qi[s:s + 64]
+        d = np.linalg.norm(x[qb, None, :] - x[None, :, :], axis=2)
+        d[np.arange(len(qb)), qb] = np.inf
+        exact[s:s + 64] = np.argsort(d, axis=1, kind="stable")[:, :kn]
     recall = np.mean([len(set(exact[i]) & set(nb[qi[i]])) / kn
                       for i in range(nq)])
     assert recall >= 0.999  # exact up to distance ties
+
+
+def test_nan_rows_sentinel(samples, clustered):
+    """Rows with non-finite features come back as the 0xFFFFFFFF sentinel
+    (k-means assigned them cluster id == n_clusters and they are excluded
+    from the member layout), never as a real-looking index."""
+    x = samples.copy()
+    x[7] = np.nan
+    x[4242, 0] = np.inf
+    c, a = kmeans_tpu(x, 50, seed=777, tolerance=0.01, yinyang_t=0)
+    nb = knn_tpu(5, x, c, a)
+    sentinel = np.uint32(0xFFFFFFFF)
+    assert (nb[7] == sentinel).all() and (nb[4242] == sentinel).all()
+    valid = np.ones(len(x), bool)
+    valid[[7, 4242]] = False
+    assert (nb[valid] != sentinel).all()
+    # valid rows never report an invalid row as a neighbor
+    assert not np.isin(nb[valid], [7, 4242]).any()
+
+
+def test_duplicate_ties_grouped_walk(monkeypatch):
+    """Exact lowest-id tie-break under a grouped tile walk (group > 1):
+    duplicate-heavy data puts > kk equal-distance candidates in one walk
+    step spanning several tiles, where a whole-group top_k would keep
+    lower-COLUMN (not lower-id) duplicates.  Every returned neighbor list
+    must match brute force with (distance, id)-lexicographic order."""
+    from kmcuda_tpu import config
+
+    # tiny tiles -> many tiles per cluster, grouped 4 per walk step
+    monkeypatch.setattr(config, "KNN_TILE_M", 64)
+    monkeypatch.setattr(config, "KNN_TILE_GROUP_ROWS", 256)
+    rng = np.random.RandomState(9)
+    base = rng.rand(40, 3).astype(np.float32) * 4.0
+    # 50 exact copies of each of 40 points: any neighbor set is all ties
+    x = np.repeat(base, 50, axis=0)
+    order = rng.permutation(len(x))
+    x = x[order]
+    c, a = kmeans_tpu(x, 8, seed=3, tolerance=0.01, yinyang_t=0)
+    kn = 12
+    nb = np.asarray(knn_tpu(kn, x, c, a)).astype(np.int64)
+
+    d = np.linalg.norm(x[:, None, :] - x[None, :, :], axis=2)
+    np.fill_diagonal(d, np.inf)
+    # lexicographic (distance, id): stable argsort over ids sorted by d
+    exact = np.argsort(d, axis=1, kind="stable")[:, :kn]
+    assert np.array_equal(nb, exact)

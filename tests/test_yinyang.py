@@ -148,3 +148,32 @@ def test_yinyang_cosine(samples):
         np.linalg.norm(centroids, axis=1), 1.0, atol=1e-5)
     sims = x @ centroids.T
     assert np.sum(assignments != sims.argmax(1)) <= 2
+
+
+def test_flat_slot_ceiling_falls_back_to_lloyd(samples, capsys):
+    """Beyond the fp32 exact-integer slot-id range (groups * cap >= 2**24,
+    i.e. k ~ 14.6M in practice) Yinyang's global filter cannot prune, so
+    run() must warn and produce Lloyd's results instead of crashing or
+    silently degrading.  Exercised directly with an absurd group count."""
+    import jax
+
+    from kmcuda_tpu.models import initialization as I
+    from kmcuda_tpu.models import lloyd as L
+    from kmcuda_tpu.models import yinyang as Y
+    from kmcuda_tpu.models.problem import prepare
+    from kmcuda_tpu.ops.distance import DistanceMetric
+    from kmcuda_tpu.parallel.mesh import Topology
+    from kmcuda_tpu.utils.logging import Logger
+
+    topo = Topology((jax.devices()[0],))
+    p = prepare(samples, 50, DistanceMetric.L2, topo, Logger(0))
+    key = jax.random.key(4)
+    c0 = I.init_centroids(p, I.InitMethod.RANDOM, key)
+    # the iteration loop donates the assignment buffer: fresh one per run
+    cy, ay, _by, it_y = Y.run(p, c0, L.new_assignments(p), tolerance=0.01,
+                              groups=2 ** 23, key=key)
+    assert "exceed the fp32 exact-integer range" in capsys.readouterr().err
+    cl, al, _bl, it_l, _ = L.run(p, c0, L.new_assignments(p), tolerance=0.01)
+    assert it_y == it_l
+    np.testing.assert_array_equal(np.asarray(ay), np.asarray(al))
+    np.testing.assert_array_equal(np.asarray(cy), np.asarray(cl))
