@@ -133,6 +133,19 @@ KNN_TILE_GROUP_ROWS = 4096
 #: through the logger.  Results are independent of the batch size.
 KNN_QUERY_BATCH = 65536
 
+#: Fused Pallas k-nn walk kernel (ops/knn_pallas.py): the pruned tile
+#: tour of each query chunk runs as one Mosaic kernel (member tiles
+#: DMA'd on demand, top-kk buffer maintained in VMEM) instead of the
+#: XLA while-loop that round-trips every distance block through HBM.
+#: "auto" = use it on TPU when the shape fits (kk <= 128, features <=
+#: knn_pallas.MAX_PALLAS_F), True = also in interpreter mode off-TPU
+#: (slow — tests only), False = never.
+USE_PALLAS_KNN = "auto"
+
+#: VMEM budget for the fused k-nn walk kernel (live set: member tile
+#: group + one (chunk, group*tile_m) distance block + the buffers).
+KNN_PALLAS_VMEM_LIMIT = 100 * 1024 * 1024
+
 #: Fused Pallas assignment kernel for the Lloyd hot loop
 #: (ops/assign_pallas.py).  "auto" = use it for bf16 storage (measured 12%
 #: faster than the XLA scan; at fp32-HIGHEST precision XLA wins), True =

@@ -267,11 +267,13 @@ def _scatter_padded(x_sorted, a_sorted, padded_pos, *, k, m_total):
 
 @functools.lru_cache(maxsize=64)
 def _build_pruned_search(mesh, k_neighbors, n_clusters, metric, chunk,
-                         tile_m, group, n_batch_chunks):
+                         tile_m, group, n_batch_chunks, use_pallas=False,
+                         pallas_interpret=False):
     fn = functools.partial(
         KP.search, k_neighbors=k_neighbors, n_clusters=n_clusters,
         metric=metric, chunk=chunk, tile_m=tile_m, group=group,
-        n_batch_chunks=n_batch_chunks, axis_name=AXIS)
+        n_batch_chunks=n_batch_chunks, use_pallas=use_pallas,
+        pallas_interpret=pallas_interpret, axis_name=AXIS)
     return jax.jit(jax.shard_map(
         fn, mesh=mesh,
         in_specs=(P(AXIS, None), P(AXIS), P(AXIS), P(AXIS), P(None, None),
@@ -377,9 +379,22 @@ def run(problem, centroids, assignments, k_neighbors: int):
                   max(1, config.KNN_QUERY_BATCH // q_chunk))
     n_full = nchunks_local // k_batch
     rem = nchunks_local - n_full * k_batch
+    # fused Pallas walk: engages on TPU when the candidate buffer fits a
+    # lane tile (the kernel is exercised in interpreter mode by
+    # tests/test_knn_pallas.py; under the CPU shard_map it trips vma
+    # checks, same story as the Lloyd kernel — ops/assign.py:84-87)
+    from kmcuda_tpu.ops import knn_pallas as KNP
+
+    kk = min(k_neighbors + max(16, k_neighbors // 2), m_total)
+    flag = config.USE_PALLAS_KNN
+    interpret = jax.default_backend() != "tpu"
+    use_pallas = KNP.supported(kk, p.features) and (
+        flag is True or (flag == "auto" and not interpret))
+    if use_pallas:
+        p.logger.debug("knn: fused Pallas walk engaged (kk=%d)" % kk)
     search = _build_pruned_search(
         p.topo.mesh, k_neighbors, p.k, p.metric, q_chunk, tile_m, group,
-        k_batch)
+        k_batch, use_pallas, interpret and use_pallas)
     parts, examined = [], 0.0
     for b in range(n_full):
         nbp, dsb, ex = search(xq, xq_sq, q_own, q_assign, xm, m_spos_r,
@@ -393,7 +408,7 @@ def run(problem, centroids, assignments, k_neighbors: int):
     if rem:
         search_r = _build_pruned_search(
             p.topo.mesh, k_neighbors, p.k, p.metric, q_chunk, tile_m,
-            group, rem)
+            group, rem, use_pallas, interpret and use_pallas)
         nbp, dsb, ex = search_r(xq, xq_sq, q_own, q_assign, xm, m_spos_r,
                                 cd_ext, r_ext, tile_cluster, tile_nvalid,
                                 jnp.int32(n_full * k_batch))

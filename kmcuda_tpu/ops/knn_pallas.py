@@ -1,0 +1,296 @@
+"""Pallas fused k-NN walk: the pruned tile tour as one Mosaic kernel.
+
+The XLA walk (ops.knn_prune.search pass 2) round-trips every visited
+(chunk, group*tile_m) distance block through HBM between the score
+matmul, the masking passes, the improvement gate, ``lax.top_k`` and the
+merge sort, and pays a ``lax.cond``/``lax.while_loop`` step overhead per
+visited tile group.  This kernel keeps the whole walk of one query chunk
+in VMEM:
+
+  1. one grid program per query chunk; member tiles are DMA'd from HBM
+     on demand in the chunk's most-promising-first order (the analog of
+     the reference's per-cluster scan order, knn.cu:218-224),
+  2. scores on the MXU + true-distance finalize + self/pad masking
+     without leaving VMEM,
+  3. a running top-kk buffer merged in-register: kk lexicographic
+     (distance, id) extract-min passes over the tile block, then kk
+     passes over the tiny (2*kkp) union — the reference heap's job
+     (knn.cu:133-175) as O(kk) VPU passes per *improving tile* rather
+     than O(log k) per candidate,
+  4. the same early stop as the XLA walk: the tour ends when the next
+     tile group's chunk-min bound exceeds every query's running kth
+     distance (tracked in SMEM and tightened after every merge).
+
+The exactness contract is identical to the XLA path (same SLACK
+inflation, same lexicographic (distance, id) tie-break, same (INF, -1)
+sentinel ordering — see ops/knn_prune.py); the caller runs the same
+exact rescore on the kk survivors, so the two paths return identical
+neighbors.
+
+Engagement bounds (:func:`supported`): kk <= 128 (the candidate buffer
+lives as one lane tile, so the extract loop is O(kk) not O(k)) and
+features within the VMEM budget.  Larger shapes use the XLA walk.
+Non-TPU backends run in interpreter mode (tests on the CPU mesh).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from kmcuda_tpu.ops import distance as D
+
+INF = np.float32(np.inf)
+NEG_INF = np.float32(-np.inf)
+BIGI = np.int32(2 ** 31 - 1)
+
+#: engagement bounds: one lane tile for the candidate buffer, and the
+#: (chunk, group*tile_m) block + member tile group must fit VMEM
+MAX_PALLAS_KK = 128
+MAX_PALLAS_F = 512
+
+
+def supported(kk: int, features: int) -> bool:
+    return kk <= MAX_PALLAS_KK and features <= MAX_PALLAS_F
+
+
+def _extract_k(z_d, z_i, kk: int, kkp: int):
+    """kk lexicographic (distance, id) extract-min passes.
+
+    z_d: (rows, m) working distances (consumed functionally).
+    z_i: (1, m) or (rows, m) candidate ids (never modified).
+    Returns (out_d, out_i) of shape (rows, kkp), columns [0, kk)
+    ascending by (distance, id), tail columns the (+inf, -1) sentinel.
+
+    Sentinel entries (d=+inf, id=-1) may repeat; extracting one leaves
+    the others eligible (they are masked to +inf, which they already
+    are), so sentinel-padded tails reproduce themselves — exactly the
+    XLA path's select_k behavior on (+inf, -1) fill.  Among equal
+    distances the lowest id wins, so (+inf, -1) always beats a
+    masked-out real candidate (+inf, real_id) — real ids with masked
+    distances can never enter the buffer (the self/pad exclusion
+    guarantee; see ops/knn_prune.py).
+    """
+    rows = z_d.shape[0]
+    cols = lax.broadcasted_iota(jnp.int32, (1, kkp), 1)
+    od0 = jnp.full((rows, kkp), INF)
+    oi0 = jnp.full((rows, kkp), jnp.int32(-1))
+
+    def pass_j(j, carry):
+        zd, od, oi = carry
+        m = jnp.min(zd, axis=1, keepdims=True)             # (rows, 1)
+        hit = zd <= m
+        am = jnp.min(jnp.where(hit, z_i, BIGI), axis=1,
+                     keepdims=True)                        # (rows, 1)
+        od = jnp.where(cols == j, m, od)
+        oi = jnp.where(cols == j, am, oi)
+        zd = jnp.where(hit & (z_i == am), INF, zd)
+        return zd, od, oi
+
+    _zd, od, oi = lax.fori_loop(0, kk, pass_j, (z_d, od0, oi0))
+    return od, oi
+
+
+def _kernel(order_ref, bound_ref, nsteps_ref, nqv_ref, nval_ref,
+            xq_ref, xqsq_ref, qpos_ref, qvalid_ref,
+            xm_hbm, msq_hbm, mspos_hbm,
+            bd_ref, bi_ref, ex_ref,
+            xm_buf, msq_buf, mspos_buf, tau_ref, sem, *,
+            kn: int, kk: int, kkp: int, group: int, tile_m: int,
+            metric: D.DistanceMetric, precision, slack: float,
+            stop_bound: float):
+    i = pl.program_id(0)
+    gm = group * tile_m
+    chunk = xq_ref.shape[0]
+
+    @pl.when(i == 0)
+    def _init_ex():
+        ex_ref[0, 0] = jnp.float32(0)
+
+    qvalid = qvalid_ref[:] != 0                            # (chunk, 1)
+    # buffer init: valid rows (+inf, -1); invalid rows -inf so they never
+    # inflate tau (their results are discarded by the caller)
+    bd_ref[:] = jnp.where(jnp.broadcast_to(qvalid, (chunk, kkp)),
+                          INF, NEG_INF)
+    bi_ref[:] = jnp.full((chunk, kkp), jnp.int32(-1))
+    tau_ref[0, 0] = jnp.max(bd_ref[:, kn - 1:kn])
+
+    lane_g = lax.broadcasted_iota(jnp.int32, (1, gm), 1)
+    in_tile = lane_g % tile_m
+    seg = lane_g // tile_m
+    n_qvalid = jnp.float32(nqv_ref[0, 0])
+
+    def step(r_step, active):
+        r = r_step * group
+        bound_r = bound_ref[0, r]
+        act = (active & (bound_r <= tau_ref[0, 0])
+               & (bound_r < stop_bound))
+
+        @pl.when(act)
+        def _visit():
+            # ---- DMA the group's member tiles (rows are contiguous) --
+            copies = []
+            for g in range(group):
+                row0 = order_ref[0, r + g] * tile_m
+                copies.append(pltpu.make_async_copy(
+                    xm_hbm.at[pl.ds(row0, tile_m), :],
+                    xm_buf.at[pl.ds(g * tile_m, tile_m), :],
+                    sem.at[3 * g]))
+                copies.append(pltpu.make_async_copy(
+                    msq_hbm.at[:, pl.ds(row0, tile_m)],
+                    msq_buf.at[:, pl.ds(g * tile_m, tile_m)],
+                    sem.at[3 * g + 1]))
+                copies.append(pltpu.make_async_copy(
+                    mspos_hbm.at[:, pl.ds(row0, tile_m)],
+                    mspos_buf.at[:, pl.ds(g * tile_m, tile_m)],
+                    sem.at[3 * g + 2]))
+            for c in copies:
+                c.start()
+            for c in copies:
+                c.wait()
+
+            # ---- scores -> true distances, masks (all in VMEM) -------
+            prod = lax.dot_general(
+                xq_ref[:], xm_buf[:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision)
+            if metric == D.DistanceMetric.L2:
+                s = msq_buf[:] - 2.0 * prod                # (chunk, gm)
+                d = jnp.sqrt(jnp.maximum(s + xqsq_ref[:], 0.0))
+            else:
+                d = jnp.arccos(jnp.clip(prod, -1.0, 1.0))
+            d = d * (1.0 + slack)                          # upward margin
+            # member padded positions, from the tile ids (no DMA needed)
+            mpos = in_tile
+            for g in range(group):
+                mpos = mpos + jnp.where(
+                    seg == g, order_ref[0, r + g] * tile_m, 0)
+            d = jnp.where(qpos_ref[:] == mpos, INF, d)     # self
+            d = jnp.where(mspos_buf[:] < 0, INF, d)        # padding
+
+            improves = jnp.any(
+                jnp.min(d, axis=1, keepdims=True) <= bd_ref[:, kk - 1:kk])
+
+            @pl.when(improves)
+            def _merge():
+                inc_d, inc_i = _extract_k(d, mpos, kk, kkp)
+                zd = jnp.concatenate([bd_ref[:], inc_d], axis=1)
+                zi = jnp.concatenate([bi_ref[:], inc_i], axis=1)
+                nd, ni = _extract_k(zd, zi, kk, kkp)
+                # invalid query rows stay (-inf, -1): -inf suppresses tau,
+                # -1 keeps the rescore from resurrecting their candidates
+                bd_ref[:] = jnp.where(qvalid, nd, NEG_INF)
+                bi_ref[:] = jnp.where(qvalid, ni, jnp.int32(-1))
+                tau_ref[0, 0] = jnp.max(bd_ref[:, kn - 1:kn])
+
+            ex = jnp.float32(0)
+            for g in range(group):
+                ex = ex + jnp.float32(nval_ref[0, order_ref[0, r + g]])
+            ex_ref[0, 0] += ex * n_qvalid
+
+        return act
+
+    lax.fori_loop(0, nsteps_ref[0, 0], step, jnp.bool_(True))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k_neighbors", "kk", "chunk", "tile_m", "group",
+                     "metric", "interpret", "axis_name"))
+def walk(xq, xq_sq, q_pos, q_valid, n_qvalid, n_steps, tile_order,
+         sorted_min, tile_nvalid, xm, xm_sq, m_spos, *,
+         k_neighbors: int, kk: int, chunk: int, tile_m: int, group: int,
+         metric: D.DistanceMetric, interpret: bool, axis_name=None):
+    """Run the fused walk over a batch of query chunks.
+
+    xq: (nb, f) batch queries (cluster-sorted padded layout).
+    xq_sq/q_pos/q_valid: (nb,) norms / padded positions / validity.
+    n_qvalid/n_steps: (nchunks,) per-chunk valid-query counts and walk
+    step bounds.  tile_order/sorted_min: (nchunks, nte) the chunk tours.
+    tile_nvalid: (nt,) per-tile member counts.  xm/xm_sq/m_spos:
+    (M, f)/(M,)/(M,) replicated members (stay in HBM; tiles are DMA'd).
+
+    Returns (best_d (nb, kkp) f32, best_i (nb, kkp) int32, examined ()
+    f32) with the meaningful columns in [0, kk); the caller rescores and
+    selects k_neighbors exactly as after the XLA walk.
+    """
+    from kmcuda_tpu import config
+    from kmcuda_tpu.ops import knn_prune as KP
+
+    nb, f = xq.shape
+    nchunks = nb // chunk
+    nte = tile_order.shape[1]
+    nt = tile_nvalid.shape[0]
+    kkp = -(-kk // 128) * 128
+    gm = group * tile_m
+    precision = D.mm_precision(xq.dtype)
+
+    vma = frozenset() if axis_name is None else frozenset({axis_name})
+    if axis_name is not None:
+        from kmcuda_tpu.ops.assign import _mark_varying
+
+        (xm, xm_sq, m_spos, tile_nvalid) = _mark_varying(
+            (xm, xm_sq, m_spos, tile_nvalid), axis_name)
+
+    kern = functools.partial(
+        _kernel, kn=k_neighbors, kk=kk, kkp=kkp, group=group,
+        tile_m=tile_m, metric=metric, precision=precision,
+        slack=float(KP.SLACK), stop_bound=float(KP.STOP_BOUND))
+    bd, bi, ex = pl.pallas_call(
+        kern,
+        grid=(nchunks,),
+        in_specs=[
+            pl.BlockSpec((1, nte), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),       # tile_order
+            pl.BlockSpec((1, nte), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),       # sorted_min
+            pl.BlockSpec((1, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),       # n_steps
+            pl.BlockSpec((1, 1), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),       # n_qvalid
+            pl.BlockSpec((1, nt), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),       # tile_nvalid
+            pl.BlockSpec((chunk, f), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),       # xq
+            pl.BlockSpec((chunk, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),       # xq_sq col
+            pl.BlockSpec((chunk, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),       # q_pos col
+            pl.BlockSpec((chunk, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),       # q_valid col
+            pl.BlockSpec(memory_space=pl.ANY),        # xm (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),        # xm_sq (1, M)
+            pl.BlockSpec(memory_space=pl.ANY),        # m_spos (1, M)
+        ],
+        out_specs=[
+            pl.BlockSpec((chunk, kkp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, kkp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, kkp), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((nb, kkp), jnp.int32, vma=vma),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32, vma=vma),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((gm, f), xq.dtype),               # xm_buf
+            pltpu.VMEM((1, gm), jnp.float32),            # msq_buf
+            pltpu.VMEM((1, gm), jnp.int32),              # mspos_buf
+            pltpu.SMEM((1, 1), jnp.float32),             # tau
+            pltpu.SemaphoreType.DMA((3 * group,)),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=config.KNN_PALLAS_VMEM_LIMIT),
+    )(tile_order, sorted_min, n_steps[:, None], n_qvalid[:, None],
+      tile_nvalid[None, :],
+      xq, xq_sq[:, None], q_pos[:, None],
+      q_valid.astype(jnp.int32)[:, None],
+      xm, xm_sq[None, :].astype(jnp.float32), m_spos[None, :])
+    return bd, bi, ex[0, 0]

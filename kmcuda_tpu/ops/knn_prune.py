@@ -79,6 +79,28 @@ def select_k(d, idx, kk):
     return sd[:, :kk], si[:, :kk]
 
 
+def exact_rescore(qb, bi, xm, metric, k_neighbors):
+    """Cancellation-free exact rescore of kk candidate ids + final
+    top-k_neighbors selection — shared by the XLA and Pallas walks.
+
+    The search ranks by dot-form distances (fast, slack-padded); the
+    survivors get the subtract-square form the reference's knn kernels
+    use throughout (metric_abstraction.h:59-70) so near-ties come back
+    in exact order.  bi < 0 marks empty buffer slots."""
+    cand = jnp.maximum(bi, 0)
+    diff = (qb[:, None, :].astype(jnp.float32)
+            - xm[cand].astype(jnp.float32))
+    chord = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+    if metric == D.DistanceMetric.L2:
+        d_exact = chord
+    else:
+        d_exact = 2.0 * jnp.arcsin(jnp.clip(chord * 0.5, 0.0, 1.0))
+    d_exact = jnp.where(bi < 0, INF, d_exact)
+    d_sorted, i_sorted = select_k(d_exact, cand, k_neighbors)
+    i_sorted = jnp.where(jnp.isfinite(d_sorted), i_sorted, -1)
+    return i_sorted, d_sorted
+
+
 def merge_block(best_d, best_i, d, id_base, kk):
     """Merge a (distance, id)-sorted running top-kk buffer with a fresh
     scored block whose ids are ``id_base + column``.
@@ -148,7 +170,8 @@ def cluster_layout(a_sorted, *, k, tile_m, n_tiles):
 def search(xq, xq_sq, q_own, q_assign, xm, m_spos, cd_ext, r_ext,
            tile_cluster, tile_nvalid, chunk_base, *,
            k_neighbors, n_clusters, metric, chunk, tile_m, group,
-           n_batch_chunks, axis_name=None):
+           n_batch_chunks, use_pallas=False, pallas_interpret=False,
+           axis_name=None):
     """Pruned search over one batch of the local query shard
     (cluster-sorted layout, cluster-major padded members).
 
@@ -243,7 +266,39 @@ def search(xq, xq_sq, q_own, q_assign, xm, m_spos, cd_ext, r_ext,
             [tile_order_all,
              jnp.full((nchunks, group - 1), nt - 1, jnp.int32)], axis=1)
 
-    # ---- pass 2: the pruned search, tile order precomputed --------------
+    # ---- pass 2 (Pallas): the whole walk as one Mosaic kernel -----------
+    if use_pallas:
+        from kmcuda_tpu.ops import knn_pallas as KNP
+
+        q_valid = q_assign < k
+        n_qvalid_c = jnp.sum(q_valid.reshape(nchunks, chunk),
+                             axis=1).astype(jnp.int32)
+        # sorted bounds ascend, so the step bound is the finite prefix;
+        # the tau-based early stop inside the kernel cuts further
+        count_lt = jnp.sum((sorted_min_all < STOP_BOUND).astype(jnp.int32),
+                           axis=1)
+        n_steps = -(-count_lt // group)
+        bd, bi, count = KNP.walk(
+            xq, xq_sq, q_pos, q_valid, n_qvalid_c, n_steps,
+            tile_order_all, sorted_min_all, tile_nvalid, xm, xm_sq,
+            m_spos, k_neighbors=k_neighbors, kk=kk, chunk=chunk,
+            tile_m=tile_m, group=group, metric=metric,
+            interpret=pallas_interpret, axis_name=axis_name)
+
+        def resc(_, inp):
+            qb, bib = inp
+            return None, exact_rescore(qb, bib, xm, metric, k_neighbors)
+
+        _, (nbr, dist) = lax.scan(
+            resc, None,
+            (xq.reshape(nchunks, chunk, f),
+             bi[:, :kk].reshape(nchunks, chunk, kk)))
+        if axis_name is not None:
+            count = lax.psum(count, axis_name)
+        return (nbr.reshape(nb, k_neighbors),
+                dist.reshape(nb, k_neighbors), count)
+
+    # ---- pass 2 (XLA): the pruned search, tile order precomputed --------
     def per_chunk(count, inp):
         qb, qsqb, ownb, ab, qposb, sorted_min, tile_order = inp
         q_valid = ab < k
@@ -328,18 +383,7 @@ def search(xq, xq_sq, q_own, q_assign, xm, m_spos, cd_ext, r_ext,
             init = _mark_varying(init, axis_name)
         (_r, bd, bi, count) = lax.while_loop(vcond, vbody, init)
 
-        # exact cancellation-free rescore of the kk candidates
-        cand = jnp.maximum(bi, 0)
-        diff = (qb[:, None, :].astype(jnp.float32)
-                - xm[cand].astype(jnp.float32))
-        chord = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
-        if metric == D.DistanceMetric.L2:
-            d_exact = chord
-        else:
-            d_exact = 2.0 * jnp.arcsin(jnp.clip(chord * 0.5, 0.0, 1.0))
-        d_exact = jnp.where(bi < 0, INF, d_exact)
-        d_sorted, i_sorted = select_k(d_exact, cand, k_neighbors)
-        i_sorted = jnp.where(jnp.isfinite(d_sorted), i_sorted, -1)
+        i_sorted, d_sorted = exact_rescore(qb, bi, xm, metric, k_neighbors)
         return count, (i_sorted, d_sorted)
 
     count0 = jnp.float32(0)

@@ -1,0 +1,109 @@
+"""The fused Pallas k-nn walk must return bit-identical results to the
+XLA walk (ops/knn_prune.search pass 2) — same candidates, same pruning
+metric.  Exercised in interpreter mode on a single device (the kernel
+engages compiled on TPU; under the CPU shard_map interpret mode trips
+vma checks, same as the Lloyd kernel, ops/assign.py:84-87)."""
+
+import functools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from kmcuda_tpu import config, kmeans_tpu
+from kmcuda_tpu.models import knn as MK
+from kmcuda_tpu.models.problem import prepare
+from kmcuda_tpu.ops import distance as D
+from kmcuda_tpu.ops import knn_prune as KP
+from kmcuda_tpu.parallel.mesh import Topology
+from kmcuda_tpu.utils.logging import Logger
+
+
+def _search_inputs(x, n_clusters, k_neighbors, metric=D.DistanceMetric.L2):
+    """Replicate models/knn.run's layout pipeline on ONE device, up to
+    the KP.search call (run() itself is exercised end-to-end elsewhere;
+    this keeps the two walks comparable without shard_map)."""
+    topo = Topology((jax.devices()[0],))
+    p = prepare(x, n_clusters, metric, topo, Logger(0))
+    cents, assigns = kmeans_tpu(x, n_clusters, seed=7, tolerance=0.01,
+                                yinyang_t=0)
+    a_pad = jnp.full((p.n_pad,), np.uint32(n_clusters))
+    a_pad = a_pad.at[:len(x)].set(jnp.asarray(assigns, jnp.uint32))
+
+    tile_m = MK._pick_tile_m(p.n, p.k)
+    q_chunk = min(config.KNN_TILE_Q, tile_m)
+    n_tiles = -(-p.n_pad // tile_m) + p.k + 1
+    row_quant = int(np.lcm(q_chunk, tile_m))
+    tile_quant = row_quant // tile_m
+    n_tiles = int(-(-n_tiles // tile_quant) * tile_quant)
+    m_total = n_tiles * tile_m
+    group = max(1, min(config.KNN_TILE_GROUP_ROWS // tile_m,
+                       max(1, n_tiles // 16)))
+
+    cf = jnp.asarray(cents, jnp.float32)
+    a, cd = MK._sanitize_and_cd(p.valid, a_pad, cf, n_clusters=p.k,
+                                metric=metric)
+    b, sorder, cd, perm = MK._tour_relabel(a, cd)
+    b_sorted = b[sorder]
+    padded_pos, tile_cluster, tile_nvalid = KP.cluster_layout(
+        b_sorted, k=p.k, tile_m=tile_m, n_tiles=n_tiles)
+    xm, m_spos, q_assign = MK._scatter_padded(
+        p.x[sorder], b_sorted, padded_pos, k=p.k, m_total=m_total)
+    tg = next(d_ for d_ in (8, 4, 2, 1) if n_tiles % d_ == 0)
+    q_own, radii = MK._tile_own_dist(
+        xm, m_spos, tile_cluster, cf[perm], k=p.k, tile_m=tile_m, tg=tg,
+        metric=metric)
+    big = jnp.float32(KP.BIG_BOUND)
+    cd_ext = jnp.nan_to_num(cd, nan=big, posinf=big)
+    cd_ext = jnp.concatenate([cd_ext, jnp.full((1, p.k), big)], axis=0)
+
+    kw = dict(k_neighbors=k_neighbors, n_clusters=p.k, metric=metric,
+              chunk=q_chunk, tile_m=tile_m, group=group,
+              n_batch_chunks=m_total // q_chunk, axis_name=None)
+    args = (xm, D.row_sq_norms(xm), q_own, q_assign, xm, m_spos, cd_ext,
+            radii, tile_cluster, tile_nvalid, jnp.int32(0))
+    return args, kw, group
+
+
+@pytest.mark.parametrize("with_nan", [False, True])
+def test_pallas_walk_matches_xla_walk(with_nan):
+    rng = np.random.RandomState(3)
+    kc, f, n = 16, 128, 16384
+    centers = rng.rand(kc, f).astype(np.float32) * 8.0
+    which = rng.randint(0, kc, n)
+    x = centers[which] + 0.3 * rng.randn(n, f).astype(np.float32)
+    if with_nan:
+        x[5] = np.nan
+        x[999, 3] = np.inf
+    args, kw, group = _search_inputs(x, kc, k_neighbors=9)
+    assert group > 1  # the grouped-tail / tie-break paths must be live
+
+    fx = jax.jit(functools.partial(KP.search, **kw, use_pallas=False))
+    fp = jax.jit(functools.partial(KP.search, **kw, use_pallas=True,
+                                   pallas_interpret=True))
+    nbr_x, dist_x, cnt_x = jax.device_get(fx(*args))
+    nbr_p, dist_p, cnt_p = jax.device_get(fp(*args))
+    np.testing.assert_array_equal(nbr_p, nbr_x)
+    np.testing.assert_array_equal(dist_p, dist_x)
+    assert float(cnt_p) == pytest.approx(float(cnt_x), rel=1e-6)
+
+
+def test_pallas_walk_matches_xla_walk_cosine():
+    rng = np.random.RandomState(11)
+    kc, f, n = 16, 128, 16384
+    centers = rng.rand(kc, f).astype(np.float32) + 0.05
+    which = rng.randint(0, kc, n)
+    x = centers[which] + 0.1 * rng.rand(n, f).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    args, kw, _group = _search_inputs(x, kc, k_neighbors=7,
+                                      metric=D.DistanceMetric.COSINE)
+    fx = jax.jit(functools.partial(KP.search, **kw, use_pallas=False))
+    fp = jax.jit(functools.partial(KP.search, **kw, use_pallas=True,
+                                   pallas_interpret=True))
+    nbr_x, dist_x, cnt_x = jax.device_get(fx(*args))
+    nbr_p, dist_p, cnt_p = jax.device_get(fp(*args))
+    np.testing.assert_array_equal(nbr_p, nbr_x)
+    np.testing.assert_array_equal(dist_p, dist_x)
+    assert float(cnt_p) == pytest.approx(float(cnt_x), rel=1e-6)
