@@ -139,8 +139,10 @@ KNN_QUERY_BATCH = 65536
 #: XLA while-loop that round-trips every distance block through HBM.
 #: "auto" = use it on TPU when the shape fits (kk <= 128, features <=
 #: knn_pallas.MAX_PALLAS_F), True = also in interpreter mode off-TPU
-#: (slow — tests only), False = never.
-USE_PALLAS_KNN = "auto"
+#: (slow — tests only), False = never.  Default False until the Mosaic
+#: compile + speedup are validated on the attached chip (the interpret
+#: parity tests already lock bit-identical results).
+USE_PALLAS_KNN = False
 
 #: VMEM budget for the fused k-nn walk kernel (live set: member tile
 #: group + one (chunk, group*tile_m) distance block + the buffers).
