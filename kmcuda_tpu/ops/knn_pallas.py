@@ -99,7 +99,7 @@ def _kernel(order_ref, bound_ref, nsteps_ref, nqv_ref, nval_ref,
             xq_ref, xqsq_ref, qpos_ref, qvalid_ref,
             xm_hbm, msq_hbm, mspos_hbm,
             bd_ref, bi_ref, ex_ref,
-            xm_buf, msq_buf, mspos_buf, tau_ref, sem, *,
+            xm_buf, msq_buf, mspos_buf, zd_buf, zi_buf, tau_ref, sem, *,
             kn: int, kk: int, kkp: int, group: int, tile_m: int,
             metric: D.DistanceMetric, precision, slack: float,
             stop_bound: float):
@@ -178,9 +178,13 @@ def _kernel(order_ref, bound_ref, nsteps_ref, nqv_ref, nval_ref,
             @pl.when(improves)
             def _merge():
                 inc_d, inc_i = _extract_k(d, mpos, kk, kkp)
-                zd = jnp.concatenate([bd_ref[:], inc_d], axis=1)
-                zi = jnp.concatenate([bi_ref[:], inc_i], axis=1)
-                nd, ni = _extract_k(zd, zi, kk, kkp)
+                # union via scratch stores (lane-dim concatenate is less
+                # reliably lowered by Mosaic than two static writes)
+                zd_buf[:, :kkp] = bd_ref[:]
+                zd_buf[:, kkp:] = inc_d
+                zi_buf[:, :kkp] = bi_ref[:]
+                zi_buf[:, kkp:] = inc_i
+                nd, ni = _extract_k(zd_buf[:], zi_buf[:], kk, kkp)
                 # invalid query rows stay (-inf, -1): -inf suppresses tau,
                 # -1 keeps the rescore from resurrecting their candidates
                 bd_ref[:] = jnp.where(qvalid, nd, NEG_INF)
@@ -282,6 +286,8 @@ def walk(xq, xq_sq, q_pos, q_valid, n_qvalid, n_steps, tile_order,
             pltpu.VMEM((gm, f), xq.dtype),               # xm_buf
             pltpu.VMEM((1, gm), jnp.float32),            # msq_buf
             pltpu.VMEM((1, gm), jnp.int32),              # mspos_buf
+            pltpu.VMEM((chunk, 2 * kkp), jnp.float32),   # zd (union)
+            pltpu.VMEM((chunk, 2 * kkp), jnp.int32),     # zi (union)
             pltpu.SMEM((1, 1), jnp.float32),             # tau
             pltpu.SemaphoreType.DMA((3 * group,)),
         ],
