@@ -58,7 +58,7 @@ def supported(kk: int, features: int) -> bool:
     return kk <= MAX_PALLAS_KK and features <= MAX_PALLAS_F
 
 
-def _extract_k(z_d, z_i, kk: int, kkp: int):
+def _extract_k(z_d, z_i, kk: int, kkp: int, stop_at=None):
     """kk lexicographic (distance, id) extract-min passes.
 
     z_d: (rows, m) working distances (consumed functionally).
@@ -74,14 +74,22 @@ def _extract_k(z_d, z_i, kk: int, kkp: int):
     masked-out real candidate (+inf, real_id) — real ids with masked
     distances can never enter the buffer (the self/pad exclusion
     guarantee; see ops/knn_prune.py).
+
+    stop_at: optional (rows, 1) thresholds.  When every row's next
+    minimum strictly exceeds its threshold, the remaining passes are
+    skipped: a caller merging the result with a buffer whose per-row kth
+    value is the threshold loses nothing — an unextracted entry is
+    strictly worse than kk entries the buffer already holds, so it can
+    never make the merged top-kk ('<=' keeps knife-edge id-ties alive).
+    Typical improving tiles contribute a handful of candidates, so this
+    turns kk full-width passes into a few.
     """
     rows = z_d.shape[0]
     cols = lax.broadcasted_iota(jnp.int32, (1, kkp), 1)
     od0 = jnp.full((rows, kkp), INF)
     oi0 = jnp.full((rows, kkp), jnp.int32(-1))
 
-    def pass_j(j, carry):
-        zd, od, oi = carry
+    def do_pass(j, zd, od, oi):
         m = jnp.min(zd, axis=1, keepdims=True)             # (rows, 1)
         hit = zd <= m
         am = jnp.min(jnp.where(hit, z_i, BIGI), axis=1,
@@ -89,9 +97,18 @@ def _extract_k(z_d, z_i, kk: int, kkp: int):
         od = jnp.where(cols == j, m, od)
         oi = jnp.where(cols == j, am, oi)
         zd = jnp.where(hit & (z_i == am), INF, zd)
-        return zd, od, oi
+        done = (jnp.bool_(False) if stop_at is None
+                else jnp.all(m > stop_at))
+        return zd, od, oi, done
 
-    _zd, od, oi = lax.fori_loop(0, kk, pass_j, (z_d, od0, oi0))
+    def pass_j(j, carry):
+        # skip branch is the identity: once every row is past its
+        # threshold the remaining passes cost one branch each
+        return lax.cond(carry[3], lambda c: c,
+                        lambda c: do_pass(j, c[0], c[1], c[2]), carry)
+
+    _zd, od, oi, _done = lax.fori_loop(
+        0, kk, pass_j, (z_d, od0, oi0, jnp.bool_(False)))
     return od, oi
 
 
@@ -177,7 +194,8 @@ def _kernel(order_ref, bound_ref, nsteps_ref, nqv_ref, nval_ref,
 
             @pl.when(improves)
             def _merge():
-                inc_d, inc_i = _extract_k(d, mpos, kk, kkp)
+                inc_d, inc_i = _extract_k(d, mpos, kk, kkp,
+                                          stop_at=bd_ref[:, kk - 1:kk])
                 # union via scratch stores (lane-dim concatenate is less
                 # reliably lowered by Mosaic than two static writes)
                 zd_buf[:, :kkp] = bd_ref[:]
