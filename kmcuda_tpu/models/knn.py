@@ -31,6 +31,7 @@ from kmcuda_tpu import config
 from kmcuda_tpu.ops import distance as D
 from kmcuda_tpu.ops import knn_prune as KP
 from kmcuda_tpu.parallel.mesh import AXIS
+from kmcuda_tpu.utils.backend import on_tpu
 
 # numpy, not jnp: module import must not initialize a jax backend (the C
 # ABI's embedded interpreter selects its platform after import)
@@ -387,7 +388,7 @@ def run(problem, centroids, assignments, k_neighbors: int):
 
     kk = min(k_neighbors + max(16, k_neighbors // 2), m_total)
     flag = config.USE_PALLAS_KNN
-    interpret = jax.default_backend() != "tpu"
+    interpret = not on_tpu()
     use_pallas = KNP.supported(kk, p.features) and (
         flag is True or (flag == "auto" and not interpret))
     if use_pallas:

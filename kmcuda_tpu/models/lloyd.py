@@ -21,6 +21,7 @@ from kmcuda_tpu import config
 from kmcuda_tpu.ops import assign as A
 from kmcuda_tpu.ops import distance as D
 from kmcuda_tpu.parallel.mesh import AXIS
+from kmcuda_tpu.utils.backend import on_tpu
 
 
 @functools.lru_cache(maxsize=64)
@@ -47,7 +48,7 @@ def _build_run(mesh, n_clusters, metric, chunk, use_pallas=False):
     fn = functools.partial(
         A.lloyd_run, n_clusters=n_clusters, metric=metric, chunk=chunk,
         axis_name=AXIS, use_pallas=use_pallas,
-        interpret=jax.default_backend() != "tpu")
+        interpret=not on_tpu())
     mapped = jax.shard_map(
         fn, mesh=mesh,
         in_specs=(P(AXIS, None), P(AXIS), P(AXIS), P(AXIS), P(None, None),
