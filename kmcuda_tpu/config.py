@@ -137,22 +137,26 @@ KNN_QUERY_BATCH = 65536
 #: tour of each query chunk runs as one Mosaic kernel (member tiles
 #: DMA'd on demand, top-kk buffer maintained in VMEM) instead of the
 #: XLA while-loop that round-trips every distance block through HBM.
-#: "auto" = use it on TPU when the shape fits (kk <= 128, features <=
-#: knn_pallas.MAX_PALLAS_F), True = also in interpreter mode off-TPU
-#: (slow — tests only), False = never.  Default False until the Mosaic
-#: compile + speedup are validated on the attached chip (the interpret
-#: parity tests already lock bit-identical results).
+#: "auto"/True = use it on TPU when the working set fits
+#: (knn_pallas.supported); False = never.  Non-TPU backends always take
+#: the XLA walk (interpret-mode Pallas under shard_map trips vma checks;
+#: the kernel is exercised directly by tests/test_knn_pallas.py).
+#: Default False until the Mosaic compile + speedup are validated on the
+#: attached chip (the interpret parity tests already lock bit-identical
+#: results).
 USE_PALLAS_KNN = False
 
-#: VMEM budget for the fused k-nn walk kernel (live set: member tile
-#: group + one (chunk, group*tile_m) distance block + the buffers).
-KNN_PALLAS_VMEM_LIMIT = 100 * 1024 * 1024
+#: VMEM compiler budget for the fused k-nn walk kernel; the engagement
+#: gate (knn_pallas.supported) keeps the live set under 48 MB, leaving
+#: headroom for Mosaic's own staging.
+KNN_PALLAS_VMEM_LIMIT = 64 * 1024 * 1024
 
 #: Fused Pallas assignment kernel for the Lloyd hot loop
 #: (ops/assign_pallas.py).  "auto" = use it for bf16 storage (measured 12%
 #: faster than the XLA scan; at fp32-HIGHEST precision XLA wins), True =
-#: always when the shape fits, False = never.  Interpreted on non-TPU
-#: backends.
+#: always when the shape fits, False = never.  Non-TPU backends always
+#: take the XLA scan (the kernel is exercised in interpreter mode by
+#: tests/test_pallas.py).
 USE_PALLAS_ASSIGN = "auto"
 
 #: When more than this fraction of all samples pass the drift (global)

@@ -20,6 +20,7 @@ cluster structure to prune with (no centroids, or k < 2).
 """
 
 import functools
+import typing
 
 import jax
 import jax.numpy as jnp
@@ -81,7 +82,7 @@ def _search(xq, xq_sq, q_ids, xm, m_valid, *, k, metric, chunk, tile_m,
     # (metric_abstraction.h:59-70) rather than the dot-product form its
     # k-means kernels use.  The dot form's absolute error (~eps * |x|^2)
     # reorders near-ties; the exact rescore restores them.
-    kk = min(k + max(16, k // 2), nm)
+    kk = KP.candidate_kk(k, nm)
 
     def per_chunk(_, inp):
         qb, qsqb, qidb = inp
@@ -294,25 +295,32 @@ def _pick_tile_m(n: int, k: int) -> int:
     return tile_m
 
 
-def run(problem, centroids, assignments, k_neighbors: int):
-    """k-NN of every sample, pruned via the k-means structure
-    (knn_cuda_calc, knn.cu:381-532).  Falls back to plain brute force when
-    the cluster structure cannot pay for itself."""
-    p = problem
+class SearchPlan(typing.NamedTuple):
+    """Everything the pruned search needs, pre-placement: the
+    cluster-major layout, its shape parameters, and the pruning tables.
+    Built by :func:`plan_pruned`; shared with the Pallas parity tests so
+    they exercise exactly the layout production uses."""
 
-    if centroids is None or p.k < 2 or p.n_pad < 2 * config.LANE:
-        tile_m = config.KNN_TILE_M
-        while p.n_pad % tile_m:
-            tile_m //= 2
-        q_ids = p.topo.put_sharded(jnp.arange(p.n_pad, dtype=jnp.int32))
-        xm = p.topo.put_replicated(p.x)
-        m_valid = p.topo.put_replicated(p.valid)
-        search = _build_search(p.topo.mesh, k_neighbors, p.metric, p.chunk,
-                               tile_m)
-        nbr, dist = search(p.x, p.x_sq, q_ids, xm, m_valid)
-        p.logger.info("calculated 1.000000 of all the distances")
-        return nbr, dist
+    tile_m: int
+    q_chunk: int
+    n_tiles: int
+    m_total: int
+    group: int
+    xm: jax.Array           # (m_total, F) cluster-major padded members
+    m_spos: jax.Array       # (m_total,) sorted position, -1 = pad
+    q_assign: jax.Array     # (m_total,) cluster id, k = invalid
+    q_own: jax.Array        # (m_total,) exact own-centroid distance
+    r_ext: jax.Array        # (k,) cluster radiuses (rank space)
+    cd_ext: jax.Array       # (k+1, k) sanitized center distances
+    tile_cluster: jax.Array
+    tile_nvalid: jax.Array
+    sorder: jax.Array       # (n_pad,) sorted-order -> original row
 
+
+def plan_pruned(p, centroids, assignments) -> SearchPlan:
+    """Lay out the cluster-major search structures (the device-side
+    analog of the reference's CSR build + radius/CD stages,
+    kmcuda.cc:648-691, knn.cu:20-131)."""
     tile_m = _pick_tile_m(p.n, p.k)
     # finer query chunks than the k-means scan: the tile-skip test is
     # per-chunk ("any query still needs this tile"), so smaller chunks
@@ -355,20 +363,47 @@ def run(problem, centroids, assignments, k_neighbors: int):
     big = jnp.float32(KP.BIG_BOUND)
     cd_ext = jnp.nan_to_num(cd, nan=big, posinf=big)
     cd_ext = jnp.concatenate([cd_ext, jnp.full((1, p.k), big)], axis=0)
-    r_ext = radii
+    return SearchPlan(tile_m, q_chunk, n_tiles, m_total, group, xm,
+                      m_spos, q_assign, q_own, radii, cd_ext,
+                      tile_cluster, tile_nvalid, sorder)
+
+
+def run(problem, centroids, assignments, k_neighbors: int):
+    """k-NN of every sample, pruned via the k-means structure
+    (knn_cuda_calc, knn.cu:381-532).  Falls back to plain brute force when
+    the cluster structure cannot pay for itself."""
+    p = problem
+
+    if centroids is None or p.k < 2 or p.n_pad < 2 * config.LANE:
+        tile_m = config.KNN_TILE_M
+        while p.n_pad % tile_m:
+            tile_m //= 2
+        q_ids = p.topo.put_sharded(jnp.arange(p.n_pad, dtype=jnp.int32))
+        xm = p.topo.put_replicated(p.x)
+        m_valid = p.topo.put_replicated(p.valid)
+        search = _build_search(p.topo.mesh, k_neighbors, p.metric, p.chunk,
+                               tile_m)
+        nbr, dist = search(p.x, p.x_sq, q_ids, xm, m_valid)
+        p.logger.info("calculated 1.000000 of all the distances")
+        return nbr, dist
+
+    plan = plan_pruned(p, centroids, assignments)
+    tile_m, q_chunk = plan.tile_m, plan.q_chunk
+    n_tiles, m_total, group = plan.n_tiles, plan.m_total, plan.group
+    m_spos, sorder = plan.m_spos, plan.sorder
 
     # the padded array serves both sides: sharded as queries, replicated
     # as members (no copy on a single device)
-    xq = p.topo.put_sharded(xm)
-    xq_sq = p.topo.put_sharded(D.row_sq_norms(xm))
-    q_own = p.topo.put_sharded(q_own)
-    q_assign = p.topo.put_sharded(q_assign)
-    xm = p.topo.put_replicated(xm)
+    xq = p.topo.put_sharded(plan.xm)
+    xq_sq = p.topo.put_sharded(D.row_sq_norms(plan.xm))
+    q_own = p.topo.put_sharded(plan.q_own)
+    q_assign = p.topo.put_sharded(plan.q_assign)
+    xm = p.topo.put_replicated(plan.xm)
     m_spos_r = p.topo.put_replicated(m_spos)
-    cd_ext = p.topo.put_replicated(cd_ext)
-    r_ext = p.topo.put_replicated(r_ext)
-    tile_cluster = p.topo.put_replicated(tile_cluster)
-    tile_nvalid = p.topo.put_replicated(tile_nvalid)
+    cd_ext = p.topo.put_replicated(plan.cd_ext)
+    r_ext = p.topo.put_replicated(plan.r_ext)
+    tile_cluster = p.topo.put_replicated(plan.tile_cluster)
+    tile_nvalid = p.topo.put_replicated(plan.tile_nvalid)
 
     # host-level batching: no single device dispatch runs unboundedly
     # long (weakly-prunable data makes an exact 1M+ search take tens of
@@ -380,22 +415,25 @@ def run(problem, centroids, assignments, k_neighbors: int):
                   max(1, config.KNN_QUERY_BATCH // q_chunk))
     n_full = nchunks_local // k_batch
     rem = nchunks_local - n_full * k_batch
-    # fused Pallas walk: engages on TPU when the candidate buffer fits a
-    # lane tile (the kernel is exercised in interpreter mode by
-    # tests/test_knn_pallas.py; under the CPU shard_map it trips vma
-    # checks, same story as the Lloyd kernel — ops/assign.py:84-87)
+    # fused Pallas walk: engages only where Mosaic compiles (the kernel
+    # is exercised in interpreter mode by tests/test_knn_pallas.py; under
+    # the CPU shard_map interpret mode trips vma checks, so off-TPU it
+    # always falls back to the XLA walk — same pattern as the Lloyd
+    # kernel, ops/assign.py:84-87)
     from kmcuda_tpu.ops import knn_pallas as KNP
 
-    kk = min(k_neighbors + max(16, k_neighbors // 2), m_total)
+    kk = KP.candidate_kk(k_neighbors, m_total)
     flag = config.USE_PALLAS_KNN
     interpret = not on_tpu()
-    use_pallas = KNP.supported(kk, p.features) and (
-        flag is True or (flag == "auto" and not interpret))
+    use_pallas = (not interpret and flag in (True, "auto")
+                  and KNP.supported(kk, p.features, n_tiles, q_chunk,
+                                    tile_m, group,
+                                    jnp.dtype(p.dtype).itemsize))
     if use_pallas:
         p.logger.debug("knn: fused Pallas walk engaged (kk=%d)" % kk)
     search = _build_pruned_search(
         p.topo.mesh, k_neighbors, p.k, p.metric, q_chunk, tile_m, group,
-        k_batch, use_pallas, interpret and use_pallas)
+        k_batch, use_pallas, False)
     parts, examined = [], 0.0
     for b in range(n_full):
         nbp, dsb, ex = search(xq, xq_sq, q_own, q_assign, xm, m_spos_r,
@@ -409,7 +447,7 @@ def run(problem, centroids, assignments, k_neighbors: int):
     if rem:
         search_r = _build_pruned_search(
             p.topo.mesh, k_neighbors, p.k, p.metric, q_chunk, tile_m,
-            group, rem, use_pallas, interpret and use_pallas)
+            group, rem, use_pallas, False)
         nbp, dsb, ex = search_r(xq, xq_sq, q_own, q_assign, xm, m_spos_r,
                                 cd_ext, r_ext, tile_cluster, tile_nvalid,
                                 jnp.int32(n_full * k_batch))

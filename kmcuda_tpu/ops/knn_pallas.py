@@ -52,10 +52,32 @@ BIGI = np.int32(2 ** 31 - 1)
 #: (chunk, group*tile_m) block + member tile group must fit VMEM
 MAX_PALLAS_KK = 128
 MAX_PALLAS_F = 512
+#: conservative live-set ceilings for the kernel's scalar and vector
+#: memory (TPU SMEM is O(100 KB); VMEM 64-128 MB depending on generation)
+MAX_SMEM_BYTES = 96 * 1024
+MAX_VMEM_BYTES = 48 * 1024 * 1024
 
 
-def supported(kk: int, features: int) -> bool:
-    return kk <= MAX_PALLAS_KK and features <= MAX_PALLAS_F
+def supported(kk: int, features: int, n_tiles: int, chunk: int,
+              tile_m: int, group: int, itemsize: int = 4) -> bool:
+    """True when the walk kernel's working set fits the chip.
+
+    The tour arrays live in SMEM (scales with n_tiles — unbounded data
+    sets must fall back to the XLA walk), the member tile group, the
+    (chunk, group*tile_m) distance block and the candidate buffers in
+    VMEM."""
+    if kk > MAX_PALLAS_KK or features > MAX_PALLAS_F:
+        return False
+    nte = n_tiles + group - 1
+    smem = (2 * nte + n_tiles + 8) * 4
+    gm = group * tile_m
+    kkp = -(-kk // 128) * 128
+    vmem = (gm * features * itemsize          # xm_buf
+            + 2 * gm * 4                      # msq + mspos rows
+            + chunk * features * itemsize     # xq block
+            + 2 * chunk * gm * 4              # prod + d live values
+            + 8 * chunk * kkp * 4)            # bd/bi/z/inc buffers
+    return smem <= MAX_SMEM_BYTES and vmem <= MAX_VMEM_BYTES
 
 
 def _extract_k(z_d, z_i, kk: int, kkp: int, stop_at=None):
@@ -115,8 +137,9 @@ def _extract_k(z_d, z_i, kk: int, kkp: int, stop_at=None):
 def _kernel(order_ref, bound_ref, nsteps_ref, nqv_ref, nval_ref,
             xq_ref, xqsq_ref, qpos_ref, qvalid_ref,
             xm_hbm, msq_hbm, mspos_hbm,
-            bd_ref, bi_ref, ex_ref,
-            xm_buf, msq_buf, mspos_buf, zd_buf, zi_buf, tau_ref, sem, *,
+            bi_ref, ex_ref,
+            bd_ref, xm_buf, msq_buf, mspos_buf, zd_buf, zi_buf, tau_ref,
+            sem, *,
             kn: int, kk: int, kkp: int, group: int, tile_m: int,
             metric: D.DistanceMetric, precision, slack: float,
             stop_bound: float):
@@ -236,9 +259,10 @@ def walk(xq, xq_sq, q_pos, q_valid, n_qvalid, n_steps, tile_order,
     tile_nvalid: (nt,) per-tile member counts.  xm/xm_sq/m_spos:
     (M, f)/(M,)/(M,) replicated members (stay in HBM; tiles are DMA'd).
 
-    Returns (best_d (nb, kkp) f32, best_i (nb, kkp) int32, examined ()
-    f32) with the meaningful columns in [0, kk); the caller rescores and
-    selects k_neighbors exactly as after the XLA walk.
+    Returns (best_i (nb, kkp) int32, examined () f32) with the
+    meaningful columns in [0, kk); the caller rescores the candidate ids
+    exactly as after the XLA walk (their walk distances are dead —
+    the exact rescore recomputes them — so they never leave VMEM).
     """
     from kmcuda_tpu import config
     from kmcuda_tpu.ops import knn_prune as KP
@@ -262,7 +286,7 @@ def walk(xq, xq_sq, q_pos, q_valid, n_qvalid, n_steps, tile_order,
         _kernel, kn=k_neighbors, kk=kk, kkp=kkp, group=group,
         tile_m=tile_m, metric=metric, precision=precision,
         slack=float(KP.SLACK), stop_bound=float(KP.STOP_BOUND))
-    bd, bi, ex = pl.pallas_call(
+    bi, ex = pl.pallas_call(
         kern,
         grid=(nchunks,),
         in_specs=[
@@ -291,16 +315,14 @@ def walk(xq, xq_sq, q_pos, q_valid, n_qvalid, n_steps, tile_order,
         out_specs=[
             pl.BlockSpec((chunk, kkp), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, kkp), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nb, kkp), jnp.float32, vma=vma),
             jax.ShapeDtypeStruct((nb, kkp), jnp.int32, vma=vma),
             jax.ShapeDtypeStruct((1, 1), jnp.float32, vma=vma),
         ],
         scratch_shapes=[
+            pltpu.VMEM((chunk, kkp), jnp.float32),       # bd (candidates)
             pltpu.VMEM((gm, f), xq.dtype),               # xm_buf
             pltpu.VMEM((1, gm), jnp.float32),            # msq_buf
             pltpu.VMEM((1, gm), jnp.int32),              # mspos_buf
@@ -317,4 +339,4 @@ def walk(xq, xq_sq, q_pos, q_valid, n_qvalid, n_steps, tile_order,
       xq, xq_sq[:, None], q_pos[:, None],
       q_valid.astype(jnp.int32)[:, None],
       xm, xm_sq[None, :].astype(jnp.float32), m_spos[None, :])
-    return bd, bi, ex[0, 0]
+    return bi, ex[0, 0]

@@ -79,6 +79,14 @@ def select_k(d, idx, kk):
     return sd[:, :kk], si[:, :kk]
 
 
+def candidate_kk(k_neighbors: int, n_members: int) -> int:
+    """Running candidate-buffer width: k plus slack so near-boundary
+    candidates survive the dot-form ranking until the exact rescore.
+    Single source of truth — the Pallas engagement gate sizes itself
+    from the same number (models/knn.run)."""
+    return min(k_neighbors + max(16, k_neighbors // 2), n_members)
+
+
 def exact_rescore(qb, bi, xm, metric, k_neighbors):
     """Cancellation-free exact rescore of kk candidate ids + final
     top-k_neighbors selection — shared by the XLA and Pallas walks.
@@ -206,7 +214,7 @@ def search(xq, xq_sq, q_own, q_assign, xm, m_spos, cd_ext, r_ext,
     nm = xm.shape[0]
     nt = nm // tile_m
     k = n_clusters
-    kk = min(k_neighbors + max(16, k_neighbors // 2), nm)
+    kk = candidate_kk(k_neighbors, nm)
 
     xm_sq = D.row_sq_norms(xm)
     m_pen = jnp.where(m_spos >= 0, 0.0, config.PAD_PENALTY)
@@ -278,7 +286,7 @@ def search(xq, xq_sq, q_own, q_assign, xm, m_spos, cd_ext, r_ext,
         count_lt = jnp.sum((sorted_min_all < STOP_BOUND).astype(jnp.int32),
                            axis=1)
         n_steps = -(-count_lt // group)
-        bd, bi, count = KNP.walk(
+        bi, count = KNP.walk(
             xq, xq_sq, q_pos, q_valid, n_qvalid_c, n_steps,
             tile_order_all, sorted_min_all, tile_nvalid, xm, xm_sq,
             m_spos, k_neighbors=k_neighbors, kk=kk, chunk=chunk,

@@ -22,9 +22,9 @@ from kmcuda_tpu.utils.logging import Logger
 
 
 def _search_inputs(x, n_clusters, k_neighbors, metric=D.DistanceMetric.L2):
-    """Replicate models/knn.run's layout pipeline on ONE device, up to
-    the KP.search call (run() itself is exercised end-to-end elsewhere;
-    this keeps the two walks comparable without shard_map)."""
+    """Build KP.search inputs from the PRODUCTION layout plan
+    (models/knn.plan_pruned) on ONE device, so the parity lock always
+    exercises exactly the layout run() produces — without shard_map."""
     topo = Topology((jax.devices()[0],))
     p = prepare(x, n_clusters, metric, topo, Logger(0))
     cents, assigns = kmeans_tpu(x, n_clusters, seed=7, tolerance=0.01,
@@ -32,39 +32,14 @@ def _search_inputs(x, n_clusters, k_neighbors, metric=D.DistanceMetric.L2):
     a_pad = jnp.full((p.n_pad,), np.uint32(n_clusters))
     a_pad = a_pad.at[:len(x)].set(jnp.asarray(assigns, jnp.uint32))
 
-    tile_m = MK._pick_tile_m(p.n, p.k)
-    q_chunk = min(config.KNN_TILE_Q, tile_m)
-    n_tiles = -(-p.n_pad // tile_m) + p.k + 1
-    row_quant = int(np.lcm(q_chunk, tile_m))
-    tile_quant = row_quant // tile_m
-    n_tiles = int(-(-n_tiles // tile_quant) * tile_quant)
-    m_total = n_tiles * tile_m
-    group = max(1, min(config.KNN_TILE_GROUP_ROWS // tile_m,
-                       max(1, n_tiles // 16)))
-
-    cf = jnp.asarray(cents, jnp.float32)
-    a, cd = MK._sanitize_and_cd(p.valid, a_pad, cf, n_clusters=p.k,
-                                metric=metric)
-    b, sorder, cd, perm = MK._tour_relabel(a, cd)
-    b_sorted = b[sorder]
-    padded_pos, tile_cluster, tile_nvalid = KP.cluster_layout(
-        b_sorted, k=p.k, tile_m=tile_m, n_tiles=n_tiles)
-    xm, m_spos, q_assign = MK._scatter_padded(
-        p.x[sorder], b_sorted, padded_pos, k=p.k, m_total=m_total)
-    tg = next(d_ for d_ in (8, 4, 2, 1) if n_tiles % d_ == 0)
-    q_own, radii = MK._tile_own_dist(
-        xm, m_spos, tile_cluster, cf[perm], k=p.k, tile_m=tile_m, tg=tg,
-        metric=metric)
-    big = jnp.float32(KP.BIG_BOUND)
-    cd_ext = jnp.nan_to_num(cd, nan=big, posinf=big)
-    cd_ext = jnp.concatenate([cd_ext, jnp.full((1, p.k), big)], axis=0)
-
+    plan = MK.plan_pruned(p, jnp.asarray(cents, jnp.float32), a_pad)
     kw = dict(k_neighbors=k_neighbors, n_clusters=p.k, metric=metric,
-              chunk=q_chunk, tile_m=tile_m, group=group,
-              n_batch_chunks=m_total // q_chunk, axis_name=None)
-    args = (xm, D.row_sq_norms(xm), q_own, q_assign, xm, m_spos, cd_ext,
-            radii, tile_cluster, tile_nvalid, jnp.int32(0))
-    return args, kw, group
+              chunk=plan.q_chunk, tile_m=plan.tile_m, group=plan.group,
+              n_batch_chunks=plan.m_total // plan.q_chunk, axis_name=None)
+    args = (plan.xm, D.row_sq_norms(plan.xm), plan.q_own, plan.q_assign,
+            plan.xm, plan.m_spos, plan.cd_ext, plan.r_ext,
+            plan.tile_cluster, plan.tile_nvalid, jnp.int32(0))
+    return args, kw, plan.group
 
 
 @pytest.mark.parametrize("with_nan", [False, True])
