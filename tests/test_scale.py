@@ -92,3 +92,21 @@ def test_size_math_beyond_uint32():
         Shape(), clusters=50, tolerance=0.142, yinyang_t=0.0,
         seed=3, device=0)
     assert (n, features, clusters) == (REF_N, REF_F, 50)
+
+
+def test_large_k_compiles_and_clusters():
+    """Large cluster counts must stay compile-bounded (no unrolled
+    per-cluster work — the reference handles k up to 2^32-2 with O(1)
+    kernel code; an earlier top-k design here unrolled O(k) HLO and
+    could not compile at this size).  k=2048 on the CPU mesh covers the
+    k-means++ init chain, the Lloyd panel, and the Yinyang grouping at
+    a size past every Pallas/lane boundary."""
+    rng = np.random.RandomState(0)
+    x = rng.rand(8192, 32).astype(np.float32)
+    c, a = kmeans_tpu(x, 2048, init="k-means++", seed=2, tolerance=0.01,
+                      yinyang_t=0.1, max_iterations=3)
+    assert c.shape == (2048, 32)
+    assert int(np.asarray(a).max()) < 2048
+    # most clusters get members at n/k = 4
+    filled = len(np.unique(np.asarray(a)))
+    assert filled > 1024
