@@ -15,3 +15,8 @@ if os.environ.get("KMTPU_TEST_TPU") != "1":
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # async dispatch runs each virtual device's program on its own thread;
+    # on low-core boxes the 8 spinning threads livelock the first
+    # cross-device collective for minutes (measured 277 s .. >580 s for one
+    # all-reduce on a 1-core host; 0.7 s synchronous)
+    jax.config.update("jax_cpu_enable_async_dispatch", False)
