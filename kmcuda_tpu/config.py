@@ -151,6 +151,13 @@ USE_PALLAS_KNN = False
 #: headroom for Mosaic's own staging.
 KNN_PALLAS_VMEM_LIMIT = 64 * 1024 * 1024
 
+#: Above this many clusters the k-nn layout planner relabels clusters by
+#: a principal-direction projection sort (O(k*f)) instead of the greedy
+#: nearest-neighbor tour, whose k sequential argmin steps over a
+#: materialized k x k distance matrix do not scale (models/knn).  Both
+#: orderings only affect pruning efficiency, never results.
+KNN_TOUR_MAX_K = 4096
+
 #: Fused Pallas assignment kernel for the Lloyd hot loop
 #: (ops/assign_pallas.py).  "auto" = use it for bf16 storage (measured 12%
 #: faster than the XLA scan; at fp32-HIGHEST precision XLA wins), True =

@@ -5,15 +5,16 @@ pairwise-distance matrix -> per-sample search over clusters that survive the
 triangle-inequality cutoff, with a fixed-k binary max-heap per sample
 (knn.cu:133-175).
 
-TPU rebuild: members are laid out cluster-major with per-cluster padding
-to a tile boundary (ops/knn_prune.cluster_layout — the device-side analog
-of the reference's host CSR build, kmcuda.cc:648-691), queries ARE the
-padded member rows (one array serves both sides, halving HBM), and each
-query chunk walks single-cluster member tiles most-promising-first under
-the reference's per-cluster cutoff (knn.cu:218-224) with a log-depth
-top-k merge (ops/knn_prune.merge_block) instead of the per-candidate
-heap.  The examined-fraction counter the reference reports
-(knn.cu:521-530) is preserved.
+TPU rebuild: members are cluster-sorted and PACKED — no per-cluster
+padding (ops/knn_prune.packed_layout — the device-side analog of the
+reference's host CSR build, kmcuda.cc:648-691), queries ARE the packed
+member rows (one array serves both sides, halving HBM), and each query
+chunk walks fixed-size member tiles most-promising-first under a
+per-tile generalization of the reference's per-cluster cutoff
+(knn.cu:218-224) with a log-depth top-k merge
+(ops/knn_prune.merge_block) instead of the per-candidate heap.  The
+examined-fraction counter the reference reports (knn.cu:521-530) is
+preserved.
 
 A tiled brute-force search remains as the fallback when there is no
 cluster structure to prune with (no centroids, or k < 2).
@@ -146,47 +147,41 @@ def _build_search(mesh, k, metric, chunk, tile_m):
     jax.jit, static_argnames=("n_clusters", "metric"))
 def _sanitize_and_cd(valid, assign, centroids, *, n_clusters, metric):
     """Sanitized cluster ids (k = invalid row) and the cluster center
-    distance matrix (knn.cu:62-131, here one matmul)."""
+    distance matrix (knn.cu:62-131, here one matmul).  The CD matrix only
+    feeds the greedy relabeling tour; the search computes CD rows on the
+    fly (ops/knn_prune.search pass 1), so it is never device-replicated."""
     k = n_clusters
     a = jnp.where(valid & (assign < k), assign, jnp.uint32(k))
     cf = centroids.astype(jnp.float32)
     return a, D.pairwise_distance(cf, cf, metric)
 
 
+@functools.partial(jax.jit, static_argnames=("n_clusters",))
+def _sanitize_assign(valid, assign, *, n_clusters):
+    k = n_clusters
+    return jnp.where(valid & (assign < k), assign, jnp.uint32(k))
+
+
 @functools.partial(
-    jax.jit, static_argnames=("k", "tile_m", "tg", "metric"))
-def _tile_own_dist(xm, m_spos, tile_cluster, c_rank, *, k, tile_m, tg,
-                   metric):
-    """Exact own-centroid distance of every padded row, and the cluster
-    radiuses (knn.cu:20-58), computed per single-cluster tile of the
-    cluster-major layout.
-
-    Every tile belongs to one cluster, so this is O(n*f) subtract-square
-    work plus one tiny centroid lookup per tile — the former whole-array
-    one-hot pass cost O(n*k*f) MXU work (a full extra assignment pass)
-    and its dot form carried |x|^2-scale rounding; the subtract-square
-    form's error scales with the distance itself (same reasoning as the
-    search's exact rescore, ops/knn_prune.search).
-
-    Returns (q_own (M,) fp32 — 0 for pad rows, radii (k,) fp32 — 0 for
-    clusters with no members, in rank space).
-    """
+    jax.jit, static_argnames=("k", "chunk", "metric"))
+def _radii(xm, q_assign, c_rank, *, k, chunk, metric):
+    """Cluster radiuses (knn.cu:20-58): exact rowwise own-centroid
+    distance (subtract-square form — its error scales with the distance
+    itself, unlike the dot form's |x|^2-scale rounding; same reasoning
+    as the search's exact rescore) scatter-maxed per cluster.  Empty
+    clusters keep radius 0 (never visited: no incidences)."""
     m_total, f = xm.shape
-    nt = m_total // tile_m
     # NaN-free lookup table (dead centroids are NaN rows; they own no
-    # tiles, so their zeroed rows are never read by a valid member)
+    # members, so their zeroed rows are never read by a valid row)
     c_ext = jnp.concatenate(
         [c_rank.astype(jnp.float32), jnp.zeros((1, f), jnp.float32)])
     c_ext = jnp.where(jnp.isfinite(c_ext), c_ext, 0.0)
-    iota_k1 = lax.broadcasted_iota(jnp.int32, (1, k + 1), 1)
-    tc = tile_cluster.astype(jnp.int32)
+    nchunks = m_total // chunk
 
     def body(_, inp):
-        xb, cb, vb = inp  # (tg, tile_m, f), (tg,), (tg, tile_m)
-        oh = (cb[:, None] == iota_k1).astype(jnp.float32)
-        # value lookup at HIGHEST: DEFAULT would bf16-round the table
-        crow = jnp.dot(oh, c_ext, precision=lax.Precision.HIGHEST)
-        diff = xb.astype(jnp.float32) - crow[:, None, :]
+        xb, ab = inp
+        rows = c_ext[jnp.minimum(ab, jnp.uint32(k)).astype(jnp.int32)]
+        diff = xb.astype(jnp.float32) - rows
         chord = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
         if metric == D.DistanceMetric.L2:
             d = chord
@@ -194,17 +189,15 @@ def _tile_own_dist(xm, m_spos, tile_cluster, c_rank, *, k, tile_m, tg,
             # exact angle for unit vectors; precise near 0 unlike
             # acos(dot) (same form as the search rescore)
             d = 2.0 * jnp.arcsin(jnp.clip(chord * 0.5, 0.0, 1.0))
-        d = jnp.where(vb, d, 0.0)
-        return None, (d, jnp.max(d, axis=1))
+        return None, jnp.where(ab < k, d, 0.0)
 
-    _, (d_own, tmax) = lax.scan(
+    _, d_own = lax.scan(
         body, None,
-        (xm.reshape(nt // tg, tg, tile_m, f),
-         tc.reshape(nt // tg, tg),
-         (m_spos >= 0).reshape(nt // tg, tg, tile_m)))
-    radii = jnp.zeros((k,), jnp.float32).at[tc].max(
-        tmax.reshape(nt), mode="drop")
-    return d_own.reshape(m_total), radii
+        (xm.reshape(nchunks, chunk, f),
+         q_assign.reshape(nchunks, chunk)))
+    return jnp.zeros((k,), jnp.float32).at[
+        q_assign.astype(jnp.int32)].max(
+        d_own.reshape(m_total), mode="drop")
 
 
 @jax.jit
@@ -221,9 +214,9 @@ def _tour_relabel(a, cd):
     chunk's worst running kth distance).  Pure wall-time/pruning
     optimization — results are exact either way.
 
-    Returns (b, sorder, cd_r, perm): rank-space cluster ids, the sort
-    permutation by rank, the CD table permuted into rank space, and the
-    rank -> original-cluster permutation (for permuting the centroids).
+    Returns (b, sorder, perm): rank-space cluster ids, the sort
+    permutation by rank, and the rank -> original-cluster permutation
+    (for permuting the centroids).
     """
     k = cd.shape[0]
     i32 = jnp.int32
@@ -241,29 +234,66 @@ def _tour_relabel(a, cd):
     _cur, _vis, perm = lax.fori_loop(
         0, k, body,
         (i32(0), jnp.zeros((k,), bool), jnp.zeros((k,), i32)))
+    return _rank_from_perm(a, perm, k)
+
+
+def _rank_from_perm(a, perm, k):
+    i32 = jnp.int32
     rank = jnp.zeros((k,), i32).at[perm].set(
         lax.broadcasted_iota(i32, (k, 1), 0)[:, 0])
     b = jnp.where(a < k, rank[jnp.minimum(a, k - 1).astype(i32)],
                   i32(k)).astype(jnp.uint32)
     sorder = jnp.argsort(b, stable=True).astype(i32)
-    return b, sorder, cd[perm][:, perm], perm
+    return b, sorder, perm
+
+
+@jax.jit
+def _proj_relabel(a, cents):
+    """Large-k cluster relabeling: sort the cluster centers by their
+    projection onto the centroid cloud's principal direction (8 power
+    iterations, O(k*f)) instead of the greedy tour, whose k sequential
+    argmin steps over a materialized k x k matrix are pathological beyond
+    a few thousand clusters (VERDICT r2 #5).  Spatial coherence of
+    adjacent labels is all the search needs; exactness never depends on
+    the relabeling."""
+    k = cents.shape[0]
+    cf = cents.astype(jnp.float32)
+    alive = jnp.all(jnp.isfinite(cf), axis=1)
+    cz = jnp.where(alive[:, None], cf, 0.0)
+    n_alive = jnp.maximum(jnp.sum(alive.astype(jnp.float32)), 1.0)
+    mean = jnp.sum(cz, axis=0) / n_alive
+    cc = jnp.where(alive[:, None], cf - mean[None, :], 0.0)
+
+    def power(_, v):
+        w = cc.T @ (cc @ v)
+        return w / jnp.maximum(jnp.linalg.norm(w), 1e-30)
+
+    v0 = jnp.ones((cents.shape[1],), jnp.float32)
+    v0 = v0 / jnp.linalg.norm(v0)
+    v = lax.fori_loop(0, 8, power, v0)
+    key = jnp.where(alive, cc @ v, jnp.inf)  # dead clusters sort last
+    perm = jnp.argsort(key, stable=True).astype(jnp.int32)
+    return _rank_from_perm(a, perm, k)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "m_total"))
-def _scatter_padded(x_sorted, a_sorted, padded_pos, *, k, m_total):
-    """Scatter the cluster-sorted members into the cluster-major padded
-    layout.  One array serves as both the replicated member set and the
-    sharded query set.  Invalid rows (cluster id k) scatter out of range
-    and are dropped; pad rows keep m_spos = -1, assign = k."""
-    n_pad, f = x_sorted.shape
+def _pack_members(x, sorder, b_sorted, *, k, m_total):
+    """The packed member array: the cluster-sorted rows themselves plus
+    filler to ``m_total`` (no per-cluster padding — ops/knn_prune.
+    packed_layout).  One array serves as both the replicated member set
+    and the sharded query set.  Invalid rows (cluster id k) sorted to
+    the tail keep m_spos = -1 like the filler."""
+    n_pad = x.shape[0]
+    f = x.shape[1]
     i32 = jnp.int32
+    pad = m_total - n_pad
     iota_n = lax.broadcasted_iota(i32, (n_pad, 1), 0)[:, 0]
-    xm = jnp.zeros((m_total, f), x_sorted.dtype).at[padded_pos].set(
-        x_sorted, mode="drop")
-    m_spos = jnp.full((m_total,), -1, i32).at[padded_pos].set(
-        iota_n, mode="drop")
-    q_assign = jnp.full((m_total,), np.uint32(k)).at[padded_pos].set(
-        a_sorted.astype(jnp.uint32), mode="drop")
+    xm = jnp.concatenate([x[sorder], jnp.zeros((pad, f), x.dtype)])
+    m_spos = jnp.concatenate(
+        [jnp.where(b_sorted < k, iota_n, i32(-1)),
+         jnp.full((pad,), -1, i32)])
+    q_assign = jnp.concatenate(
+        [b_sorted.astype(jnp.uint32), jnp.full((pad,), np.uint32(k))])
     return xm, m_spos, q_assign
 
 
@@ -278,69 +308,70 @@ def _build_pruned_search(mesh, k_neighbors, n_clusters, metric, chunk,
         pallas_interpret=pallas_interpret, axis_name=AXIS)
     return jax.jit(jax.shard_map(
         fn, mesh=mesh,
-        in_specs=(P(AXIS, None), P(AXIS), P(AXIS), P(AXIS), P(None, None),
-                  P(None), P(None, None), P(None), P(None), P(None), P()),
+        in_specs=(P(AXIS, None), P(AXIS), P(AXIS), P(None, None),
+                  P(None), P(None, None), P(None), P(None), P(None),
+                  P(None), P()),
         out_specs=(P(AXIS, None), P(AXIS, None), P())))
 
 
 def _pick_tile_m(n: int, k: int) -> int:
-    """Member-tile rows: a power of two near the mean cluster size,
-    clamped to [128, 1024].  Tiles never straddle clusters, so a tile
-    smaller than a cluster costs nothing in pruning; a tile larger than
-    the mean cluster wastes padding (up to k * tile_m rows)."""
+    """Member-tile rows: a power of two near HALF the mean cluster size,
+    clamped to [128, 1024].  Packed tiles may span cluster boundaries, so
+    the pruning bound of a boundary tile is the min over its clusters —
+    tiles at ~avg/2 keep most tiles single-cluster (measured on the 13K
+    fixture: examined fraction 0.37 at tile=2*avg, 0.27 at avg, 0.21 at
+    avg/2) while ``group`` keeps each walk step MXU-sized regardless."""
     avg = max(1, n // max(1, k))
     tile_m = 128
-    while tile_m * 2 <= min(1024, avg):
+    while tile_m * 2 <= min(1024, avg // 2):
         tile_m *= 2
     return tile_m
 
 
 class SearchPlan(typing.NamedTuple):
-    """Everything the pruned search needs, pre-placement: the
-    cluster-major layout, its shape parameters, and the pruning tables.
-    Built by :func:`plan_pruned`; shared with the Pallas parity tests so
-    they exercise exactly the layout production uses."""
+    """Everything the pruned search needs, pre-placement: the packed
+    layout, its shape parameters, and the pruning tables.  Built by
+    :func:`plan_pruned`; shared with the Pallas parity tests so they
+    exercise exactly the layout production uses."""
 
     tile_m: int
     q_chunk: int
     n_tiles: int
     m_total: int
     group: int
-    xm: jax.Array           # (m_total, F) cluster-major padded members
-    m_spos: jax.Array       # (m_total,) sorted position, -1 = pad
+    xm: jax.Array           # (m_total, F) packed cluster-sorted members
+    m_spos: jax.Array       # (m_total,) sorted position, -1 = invalid
     q_assign: jax.Array     # (m_total,) cluster id, k = invalid
-    q_own: jax.Array        # (m_total,) exact own-centroid distance
     r_ext: jax.Array        # (k,) cluster radiuses (rank space)
-    cd_ext: jax.Array       # (k+1, k) sanitized center distances
-    tile_cluster: jax.Array
+    c_rank: jax.Array       # (k, F) fp32 rank-space centroids (pass-1
+    #                         bounds compute d(q, c) from these directly)
+    inc_c: jax.Array        # (n_tiles + k,) incidence cluster, k = unused
+    inc_t: jax.Array        # (n_tiles + k,) incidence tile
     tile_nvalid: jax.Array
     sorder: jax.Array       # (n_pad,) sorted-order -> original row
 
 
 def plan_pruned(p, centroids, assignments) -> SearchPlan:
-    """Lay out the cluster-major search structures (the device-side
-    analog of the reference's CSR build + radius/CD stages,
-    kmcuda.cc:648-691, knn.cu:20-131)."""
+    """Lay out the packed search structures (the device-side analog of
+    the reference's CSR build + radius/CD stages, kmcuda.cc:648-691,
+    knn.cu:20-131)."""
     tile_m = _pick_tile_m(p.n, p.k)
     # finer query chunks than the k-means scan: the tile-skip test is
     # per-chunk ("any query still needs this tile"), so smaller chunks
-    # prune more.  Chunking here is over the padded cluster-major layout
-    # (m_total is quantized to lcm(n_dev * q_chunk, tile_m) below), not
-    # over p.x, so q_chunk is independent of p.chunk.  Matching it to
-    # tile_m keeps each chunk's queries within ~one cluster, which
-    # tightens both the chunk-min tile bound and tau_max.
+    # prune more.  Chunking here is over the packed layout (m_total is
+    # quantized to lcm(n_dev * q_chunk, tile_m) below), not over p.x, so
+    # q_chunk is independent of p.chunk.
     q_chunk = min(config.KNN_TILE_Q, tile_m)
 
-    # cluster-major padded layout size: every cluster padded to a tile
-    # boundary, plus at least one guaranteed-unused filler tile (the
-    # grouped walk's tail padding re-visits tile n_tiles-1, which must
-    # hold no members) and filler so the query axis shards and chunks
-    # evenly (filler tiles are never visited as members)
-    n_tiles = -(-p.n_pad // tile_m) + p.k + 1
-    row_quant = np.lcm(p.topo.n * q_chunk, tile_m)
-    tile_quant = row_quant // tile_m
-    n_tiles = int(-(-n_tiles // tile_quant) * tile_quant)
-    m_total = n_tiles * tile_m
+    # packed layout size: the sorted rows themselves plus at least one
+    # whole guaranteed-unused filler tile (the grouped walk's tail
+    # padding re-visits tile n_tiles-1, which must hold no members) and
+    # filler so the query axis shards and chunks evenly.  No per-cluster
+    # padding: the old cluster-major layout cost up to k * tile_m extra
+    # rows (57% at 1M x 1024, 65x at k=16K with tiny clusters).
+    row_quant = int(np.lcm(p.topo.n * q_chunk, tile_m))
+    m_total = int(-(-(p.n_pad + tile_m) // row_quant) * row_quant)
+    n_tiles = m_total // tile_m
     # tiles per walk step: enough rows for an MXU-sized matmul, but no
     # more than a sliver of the tile count (a group over-visits at most
     # group-1 tiles per chunk walk)
@@ -348,24 +379,28 @@ def plan_pruned(p, centroids, assignments) -> SearchPlan:
                        max(1, n_tiles // 16)))
 
     cents = jnp.asarray(centroids, jnp.float32)
-    a, cd = _sanitize_and_cd(p.valid, assignments, cents, n_clusters=p.k,
-                             metric=p.metric)
-    b, sorder, cd, perm = _tour_relabel(a, cd)
+    if p.k <= config.KNN_TOUR_MAX_K:
+        a, cd = _sanitize_and_cd(p.valid, assignments, cents,
+                                 n_clusters=p.k, metric=p.metric)
+        b, sorder, perm = _tour_relabel(a, cd)
+    else:
+        # the greedy tour is k sequential argmins over a k x k matrix —
+        # pathological at large k; the projection sort is O(k*f) and the
+        # k x k matrix is never built at all
+        a = _sanitize_assign(p.valid, assignments, n_clusters=p.k)
+        b, sorder, perm = _proj_relabel(a, cents)
     b_sorted = b[sorder]
-    padded_pos, tile_cluster, tile_nvalid = KP.cluster_layout(
+    inc_c, inc_t, tile_nvalid = KP.packed_layout(
         b_sorted, k=p.k, tile_m=tile_m, n_tiles=n_tiles)
-    xm, m_spos, q_assign = _scatter_padded(
-        p.x[sorder], b_sorted, padded_pos, k=p.k, m_total=m_total)
-    tg = next(d for d in (8, 4, 2, 1) if n_tiles % d == 0)
-    q_own, radii = _tile_own_dist(
-        xm, m_spos, tile_cluster, cents[perm], k=p.k, tile_m=tile_m,
-        tg=tg, metric=p.metric)
-    big = jnp.float32(KP.BIG_BOUND)
-    cd_ext = jnp.nan_to_num(cd, nan=big, posinf=big)
-    cd_ext = jnp.concatenate([cd_ext, jnp.full((1, p.k), big)], axis=0)
+    xm, m_spos, q_assign = _pack_members(
+        p.x, sorder, b_sorted, k=p.k, m_total=m_total)
+    c_rank = cents[perm]
+    rchunk = tile_m * next(d for d in (8, 4, 2, 1) if n_tiles % d == 0)
+    radii = _radii(xm, q_assign, c_rank, k=p.k, chunk=rchunk,
+                   metric=p.metric)
     return SearchPlan(tile_m, q_chunk, n_tiles, m_total, group, xm,
-                      m_spos, q_assign, q_own, radii, cd_ext,
-                      tile_cluster, tile_nvalid, sorder)
+                      m_spos, q_assign, radii, c_rank, inc_c, inc_t,
+                      tile_nvalid, sorder)
 
 
 def run(problem, centroids, assignments, k_neighbors: int):
@@ -392,17 +427,17 @@ def run(problem, centroids, assignments, k_neighbors: int):
     n_tiles, m_total, group = plan.n_tiles, plan.m_total, plan.group
     m_spos, sorder = plan.m_spos, plan.sorder
 
-    # the padded array serves both sides: sharded as queries, replicated
+    # the packed array serves both sides: sharded as queries, replicated
     # as members (no copy on a single device)
     xq = p.topo.put_sharded(plan.xm)
     xq_sq = p.topo.put_sharded(D.row_sq_norms(plan.xm))
-    q_own = p.topo.put_sharded(plan.q_own)
     q_assign = p.topo.put_sharded(plan.q_assign)
     xm = p.topo.put_replicated(plan.xm)
     m_spos_r = p.topo.put_replicated(m_spos)
-    cd_ext = p.topo.put_replicated(plan.cd_ext)
+    c_rank = p.topo.put_replicated(plan.c_rank)
     r_ext = p.topo.put_replicated(plan.r_ext)
-    tile_cluster = p.topo.put_replicated(plan.tile_cluster)
+    inc_c = p.topo.put_replicated(plan.inc_c)
+    inc_t = p.topo.put_replicated(plan.inc_t)
     tile_nvalid = p.topo.put_replicated(plan.tile_nvalid)
 
     # host-level batching: no single device dispatch runs unboundedly
@@ -436,8 +471,8 @@ def run(problem, centroids, assignments, k_neighbors: int):
         k_batch, use_pallas, False)
     parts, examined = [], 0.0
     for b in range(n_full):
-        nbp, dsb, ex = search(xq, xq_sq, q_own, q_assign, xm, m_spos_r,
-                              cd_ext, r_ext, tile_cluster, tile_nvalid,
+        nbp, dsb, ex = search(xq, xq_sq, q_assign, xm, m_spos_r,
+                              c_rank, r_ext, inc_c, inc_t, tile_nvalid,
                               jnp.int32(b * k_batch))
         parts.append((nbp, dsb))
         examined += float(ex)
@@ -448,8 +483,8 @@ def run(problem, centroids, assignments, k_neighbors: int):
         search_r = _build_pruned_search(
             p.topo.mesh, k_neighbors, p.k, p.metric, q_chunk, tile_m,
             group, rem, use_pallas, False)
-        nbp, dsb, ex = search_r(xq, xq_sq, q_own, q_assign, xm, m_spos_r,
-                                cd_ext, r_ext, tile_cluster, tile_nvalid,
+        nbp, dsb, ex = search_r(xq, xq_sq, q_assign, xm, m_spos_r,
+                                c_rank, r_ext, inc_c, inc_t, tile_nvalid,
                                 jnp.int32(n_full * k_batch))
         parts.append((nbp, dsb))
         examined += float(ex)

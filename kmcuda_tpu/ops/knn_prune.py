@@ -9,11 +9,13 @@ actually computed (knn.cu:16,521-530).
 TPU-native redesign — the unit of search is a *query chunk* and a *member
 tile*, not a thread and a candidate:
 
-- members are laid out **cluster-major with per-cluster padding to a tile
-  boundary** (:func:`cluster_layout`), so every tile belongs to exactly
-  one cluster and the tile pruning bound IS the reference's per-cluster
-  cutoff ``CD(own, c) - d_own - R(c)`` — no granularity loss from tiles
-  straddling clusters;
+- members are laid out **cluster-sorted and packed** (:func:`packed_layout`
+  — no per-cluster padding; tiles are fixed windows that may span cluster
+  boundaries, each carrying its (cluster, tile) incidences), and the tile
+  pruning bound is ``min over the tile's clusters of
+  (min over the chunk's queries of d(q, center_c)) - R(c)`` — the DIRECT
+  form of the reference's cutoff (one triangle inequality instead of its
+  two, strictly tighter than ``CD(own, c) - d_own - R(c)``);
 - each query chunk visits tiles most-promising-first (ascending chunk-min
   bound) in a dynamic-trip-count while loop that stops as soon as the next
   tile's bound exceeds every query's running kth distance;
@@ -130,68 +132,78 @@ def merge_block(best_d, best_i, d, id_base, kk):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tile_m", "n_tiles"))
-def cluster_layout(a_sorted, *, k, tile_m, n_tiles):
-    """Cluster-major padded member layout plan.
+def packed_layout(a_sorted, *, k, tile_m, n_tiles):
+    """Packed (no-padding) member layout plan.
 
     The reference builds a host CSR (cluster -> member list,
     kmcuda.cc:648-691) so its search kernel can scan whole clusters and
-    apply one cutoff per cluster.  Here the members will be scattered
-    into a dense (n_tiles * tile_m) array where cluster c occupies tiles
-    [tile_off[c], tile_off[c] + ceil(size_c / tile_m)) — every tile
-    single-cluster, padded rows invalid.  ``n_tiles`` is the static
-    upper bound n_pad // tile_m + k.
+    apply one cutoff per cluster.  Here the cluster-sorted members ARE
+    the layout — no per-cluster padding at all — and tiles are fixed
+    tile_m-row windows that may span cluster boundaries.  (The previous
+    design padded every cluster to a tile boundary, which kept tiles
+    single-cluster but inflated the member/query array by up to
+    k * tile_m rows: 57% at the 1M x 1024 benchmark shape and 65x at
+    k = 16,384 with 2-member clusters.  Multi-cluster tiles cost only a
+    min over each tile's cluster *range* in the bound pass.)
 
     a_sorted: (n_pad,) cluster ids in ascending sorted order (k = invalid,
-              sorts to the end).
+              sorts to the end — so valid members occupy a contiguous
+              prefix).  ``n_tiles`` is static; rows beyond n_pad are
+              filler (the caller guarantees at least one whole filler
+              tile at the end for the grouped walk's tail padding).
     Returns:
-      padded_pos:   (n_pad,) position of each sorted member in the padded
-                    layout (out-of-range for invalid rows -> scatter-drop).
-      tile_cluster: (n_tiles,) owning cluster of each tile (k = unused).
-      tile_nvalid:  (n_tiles,) real members in each tile.
+      inc_c: (n_tiles + k,) int32 — cluster of each (cluster, tile)
+             incidence, k = unused slot.
+      inc_t: (n_tiles + k,) int32 — tile of that incidence (unused slots
+             point at the guaranteed-filler tile n_tiles - 1).
+      tile_nvalid: (n_tiles,) real members in each tile.
     """
     i32 = jnp.int32
-    n_pad = a_sorted.shape[0]
     a = a_sorted.astype(i32)
     szk = jnp.zeros((k,), i32).at[a].add(1, mode="drop")
-    tpc = -(-szk // tile_m)                       # tiles per cluster
-    tile_end = jnp.cumsum(tpc)                    # (k,)
-    tile_off = jnp.concatenate([jnp.zeros((1,), i32), tile_end[:-1]])
-    off = jnp.concatenate(
-        [jnp.zeros((1,), i32), jnp.cumsum(szk)[:-1]])
-    m_total = n_tiles * tile_m
-    base_ext = jnp.concatenate(
-        [tile_off * tile_m, jnp.full((1,), m_total, i32)])
-    off_ext = jnp.concatenate([off, jnp.zeros((1,), i32)])
-    iota_n = lax.broadcasted_iota(i32, (n_pad, 1), 0)[:, 0]
-    padded_pos = base_ext[a] + (iota_n - off_ext[a])
+    end_m = jnp.cumsum(szk)                       # member end per cluster
+    off_m = end_m - szk
+    t0 = off_m // tile_m                          # first tile touched
+    t1 = jnp.maximum(end_m - 1, 0) // tile_m      # last tile touched
+    span = jnp.where(szk > 0, t1 - t0 + 1, 0)
+    slot_end = jnp.cumsum(span)
+    L = n_tiles + k                               # sum(span) <= L always
+    iota_l = lax.broadcasted_iota(i32, (L, 1), 0)[:, 0]
+    cidx = jnp.searchsorted(slot_end, iota_l, side="right").astype(i32)
+    ok = iota_l < slot_end[k - 1]
+    cc = jnp.minimum(cidx, k - 1)
+    slot_start = slot_end[cc] - span[cc]
+    inc_t = jnp.where(ok, t0[cc] + (iota_l - slot_start),
+                      i32(n_tiles - 1))
+    inc_c = jnp.where(ok, cc, i32(k))
 
+    # valid members occupy packed positions [0, n_valid): invalid rows
+    # carry cluster id k and sort to the end
+    n_valid = jnp.sum((a_sorted < jnp.uint32(k)).astype(i32))
     tile_ids = lax.broadcasted_iota(i32, (n_tiles, 1), 0)[:, 0]
-    tile_cluster = jnp.searchsorted(tile_end, tile_ids,
-                                    side="right").astype(i32)
-    tc = jnp.minimum(tile_cluster, k - 1)
-    nval = jnp.clip(szk[tc] - (tile_ids - tile_off[tc]) * tile_m,
-                    0, tile_m)
-    tile_nvalid = jnp.where(tile_cluster < k, nval, 0)
-    return padded_pos, tile_cluster, tile_nvalid
+    tile_nvalid = jnp.clip(n_valid - tile_ids * tile_m, 0, tile_m)
+    return inc_c, inc_t, tile_nvalid
 
 
-def search(xq, xq_sq, q_own, q_assign, xm, m_spos, cd_ext, r_ext,
-           tile_cluster, tile_nvalid, chunk_base, *,
+def search(xq, xq_sq, q_assign, xm, m_spos, c_rank, r_ext,
+           inc_c, inc_t, tile_nvalid, chunk_base, *,
            k_neighbors, n_clusters, metric, chunk, tile_m, group,
            n_batch_chunks, use_pallas=False, pallas_interpret=False,
            axis_name=None):
     """Pruned search over one batch of the local query shard
-    (cluster-sorted layout, cluster-major padded members).
+    (cluster-sorted packed layout; tiles may span cluster boundaries).
 
-    xq/xq_sq/q_own/q_assign: local shard of the sorted queries — rows,
-      squared norms, exact own-centroid distance, cluster id (k invalid).
-    xm:     (M, F) replicated cluster-major padded members.
-    m_spos: (M,) global *sorted position* of each padded row (-1 pad);
-      doubles as validity and as the self-exclusion key.
-    cd_ext: (k+1, k) cluster-center distances, row k and non-finite
-      entries sanitized to BIG_BOUND (invalid queries prune everything).
+    xq/xq_sq/q_assign: local shard of the sorted queries — rows,
+      squared norms, cluster id (k invalid).
+    xm:     (M, F) replicated packed members (= the sorted queries plus
+      filler rows; one array serves both sides).
+    m_spos: (M,) global *sorted position* of each packed row (-1 for
+      invalid/filler); doubles as validity and as the self-exclusion key.
+    c_rank: (k, F) fp32 rank-space centroids (NaN rows = dead clusters;
+      dead clusters have no members hence no incidences, so their zeroed
+      rows never produce a visited tile).
     r_ext:  (k,) cluster radiuses, NaN (empty) -> 0.
-    tile_cluster/tile_nvalid: the :func:`cluster_layout` plan.
+    inc_c/inc_t/tile_nvalid: the :func:`packed_layout` plan.
     group: tiles processed per walk step.  One tile per step spends more
       time on loop dispatch than on the (tiny) tile matmul; grouping
       makes the matmul (chunk, group*tile_m) MXU-sized at the cost of
@@ -205,7 +217,7 @@ def search(xq, xq_sq, q_own, q_assign, xm, m_spos, cd_ext, r_ext,
       n_batch_chunks)*chunk).  The driver loops over batches so no single
       device dispatch runs unboundedly long (see config.KNN_QUERY_BATCH).
 
-    Returns (neighbors (n_batch_chunks*chunk, k) int32 — *padded
+    Returns (neighbors (n_batch_chunks*chunk, k) int32 — *packed
     positions*, distances (..., k) f32 ascending, examined () f32 —
     number of (query, member) distances examined, psum'd across the
     mesh).
@@ -218,15 +230,16 @@ def search(xq, xq_sq, q_own, q_assign, xm, m_spos, cd_ext, r_ext,
 
     xm_sq = D.row_sq_norms(xm)
     m_pen = jnp.where(m_spos >= 0, 0.0, config.PAD_PENALTY)
+    # absolute dot-form error envelope coefficient (0 = fp32 storage,
+    # whose HIGHEST-precision scores the relative SLACK already covers)
+    eps_env = 0.0 if jnp.dtype(xq.dtype) == jnp.float32 else 2.0 ** -8
 
     nchunks = n_batch_chunks
     nb = nchunks * chunk
     row_base = chunk_base * chunk
     xq = lax.dynamic_slice(xq, (row_base, 0), (nb, f))
     xq_sq = lax.dynamic_slice(xq_sq, (row_base,), (nb,))
-    q_own = lax.dynamic_slice(q_own, (row_base,), (nb,))
     q_assign = lax.dynamic_slice(q_assign, (row_base,), (nb,))
-    iota_k1 = lax.broadcasted_iota(jnp.uint32, (1, k + 1), 1)
     iota_m = lax.broadcasted_iota(jnp.int32, (1, tile_m), 1)
     # global sorted position of each query row in this batch
     if axis_name is not None:
@@ -235,31 +248,50 @@ def search(xq, xq_sq, q_own, q_assign, xm, m_spos, cd_ext, r_ext,
         shard_off = 0
     q_pos = (shard_off + row_base
              + lax.broadcasted_iota(jnp.int32, (nb, 1), 0)[:, 0])
-    tcc = jnp.minimum(tile_cluster, k - 1)
 
     # ---- pass 1: per-chunk tile bounds, ONE batched sort ----------------
-    # Every tile is single-cluster, so the per-(chunk, tile) bound is the
-    # reference's per-cluster cutoff aggregated over the chunk:
-    #   b[j] = min over queries q of (CD[a_q, c_j] - d_own_q) - R[c_j].
+    # A tile of the packed layout spans a contiguous cluster RANGE, so
+    # the bound generalizes the reference's per-cluster cutoff
+    # (knn.cu:218-224) over the tile's (cluster, tile) incidences:
+    #   b[chunk, tile] = min over clusters c in the tile of
+    #                      (min over queries q of d(q, center_c)) - R[c]
+    # using the DIRECT query-to-centroid distance — one triangle
+    # inequality instead of the reference's two (CD[a_q,c] - d_own - R),
+    # strictly tighter, and no k x k matrix exists anywhere (the
+    # reference's own O(k^2) ceiling, knn.cu:425-488).  The distance
+    # block is one assignment-shaped matmul per batch, always computed
+    # in fp32-HIGHEST so the bound's error envelope stays at fp32 scale
+    # even for bf16 member storage.
     # Visit order is most-promising-first (ascending bound); the sort runs
     # OUTSIDE the search scan, batched over all chunks (one (nchunks, nt)
     # sort is cheaper than nchunks small ones, and a lax.sort inside a
     # large scanned search once faulted the TPU runtime).
-    def chunk_bounds(_, inp):
-        qb_a, qb_own = inp
-        oh = (qb_a[:, None] == iota_k1).astype(jnp.float32)
-        rows = jnp.dot(oh, cd_ext,
-                       precision=lax.Precision.HIGHEST)     # (chunk, k)
-        u = jnp.min(rows - qb_own[:, None], axis=0)         # (k,)
-        tb = u[tcc] - r_ext[tcc]                            # (nt,)
-        tb = tb - SLACK * (1.0 + jnp.abs(tb))
-        tb = jnp.where(tile_cluster < k, tb, BIG_BOUND)
-        return None, tb
+    c_safe = jnp.where(jnp.isfinite(c_rank), c_rank, 0.0)
+    c_safe_sq = jnp.sum(c_safe * c_safe, axis=1)
+    qv = (q_assign < k).reshape(nchunks, chunk)
 
-    _, tb_all = lax.scan(
-        chunk_bounds, None,
-        (q_assign.astype(jnp.uint32).reshape(nchunks, chunk),
-         q_own.reshape(nchunks, chunk)))                    # (nchunks, nt)
+    def chunk_umin(_, inp):
+        qb, qsqb, vb = inp
+        prod = jnp.dot(qb.astype(jnp.float32), c_safe.T,
+                       precision=lax.Precision.HIGHEST)
+        if metric == D.DistanceMetric.L2:
+            dd = jnp.sqrt(jnp.maximum(
+                c_safe_sq[None, :] - 2.0 * prod + qsqb[:, None], 0.0))
+        else:
+            dd = jnp.arccos(jnp.clip(prod, -1.0, 1.0))
+        dd = jnp.where(vb[:, None], dd, INF)
+        return None, jnp.min(dd, axis=0)
+
+    _, u_all = lax.scan(
+        chunk_umin, None,
+        (xq.reshape(nchunks, chunk, f), xq_sq.reshape(nchunks, chunk),
+         qv))                                               # (nchunks, k)
+    inc_cc = jnp.minimum(inc_c, k - 1)
+    vals = u_all[:, inc_cc] - r_ext[inc_cc][None, :]        # (nchunks, L)
+    vals = vals - SLACK * (1.0 + jnp.abs(vals))
+    vals = jnp.where(jnp.isfinite(vals) & (inc_c < k)[None, :],
+                     vals, BIG_BOUND)
+    tb_all = jnp.full((nchunks, nt), BIG_BOUND).at[:, inc_t].min(vals)
     iota_nt = jnp.broadcast_to(
         lax.broadcasted_iota(jnp.int32, (1, nt), 1), tb_all.shape)
     sorted_min_all, tile_order_all = lax.sort(
@@ -308,7 +340,7 @@ def search(xq, xq_sq, q_own, q_assign, xm, m_spos, cd_ext, r_ext,
 
     # ---- pass 2 (XLA): the pruned search, tile order precomputed --------
     def per_chunk(count, inp):
-        qb, qsqb, ownb, ab, qposb, sorted_min, tile_order = inp
+        qb, qsqb, ab, qposb, sorted_min, tile_order = inp
         q_valid = ab < k
         n_qvalid = jnp.sum(q_valid.astype(jnp.float32))
         # stop once the next tile's chunk-min bound exceeds every query's
@@ -338,6 +370,19 @@ def search(xq, xq_sq, q_own, q_assign, xm, m_spos, cd_ext, r_ext,
             s = D.scores(qb, mt.T.astype(qb.dtype), msq, mpen, metric)
             d = D.finalize_distance(s, qsqb[:, None], metric)
             d = d * (1.0 + SLACK)  # upward kth margin
+            if eps_env > 0.0:
+                # bf16 storage: the dot-form score's ABSOLUTE error scales
+                # with the operand magnitudes (~2^-8 * (|q|^2 + |m|^2)),
+                # which a relative margin on d cannot cover when d << |q|
+                # (ADVICE r2).  Inflating every candidate distance by the
+                # sqrt-envelope keeps tau (the early-stop threshold) a
+                # true upper bound of the kth distance: pruning weakens,
+                # exactness holds; the final rescore restores exact order.
+                if metric == D.DistanceMetric.L2:
+                    d = d + jnp.sqrt(
+                        eps_env * (qsqb[:, None] + msq[None, :]))
+                else:
+                    d = d + np.float32(np.sqrt(2.0 * eps_env))
             # queries ARE padded rows, so self-exclusion compares padded
             # positions directly (member tile j covers positions
             # [j*tile_m, (j+1)*tile_m))
@@ -401,7 +446,6 @@ def search(xq, xq_sq, q_own, q_assign, xm, m_spos, cd_ext, r_ext,
     count, (nbr, dist) = lax.scan(
         per_chunk, count0,
         (xq.reshape(nchunks, chunk, f), xq_sq.reshape(nchunks, chunk),
-         q_own.reshape(nchunks, chunk),
          q_assign.astype(jnp.uint32).reshape(nchunks, chunk),
          q_pos.reshape(nchunks, chunk),
          sorted_min_all, tile_order_all))

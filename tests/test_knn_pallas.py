@@ -36,9 +36,9 @@ def _search_inputs(x, n_clusters, k_neighbors, metric=D.DistanceMetric.L2):
     kw = dict(k_neighbors=k_neighbors, n_clusters=p.k, metric=metric,
               chunk=plan.q_chunk, tile_m=plan.tile_m, group=plan.group,
               n_batch_chunks=plan.m_total // plan.q_chunk, axis_name=None)
-    args = (plan.xm, D.row_sq_norms(plan.xm), plan.q_own, plan.q_assign,
-            plan.xm, plan.m_spos, plan.cd_ext, plan.r_ext,
-            plan.tile_cluster, plan.tile_nvalid, jnp.int32(0))
+    args = (plan.xm, D.row_sq_norms(plan.xm), plan.q_assign,
+            plan.xm, plan.m_spos, plan.c_rank, plan.r_ext,
+            plan.inc_c, plan.inc_t, plan.tile_nvalid, jnp.int32(0))
     return args, kw, plan.group
 
 

@@ -94,6 +94,45 @@ def test_size_math_beyond_uint32():
     assert (n, features, clusters) == (REF_N, REF_F, 50)
 
 
+def test_knn_16k_clusters_exact():
+    """k-NN over k=16,384 clusters (past KNN_TOUR_MAX_K) must compile and
+    return exact results on the CPU mesh (VERDICT r2 #5).  This exercises
+    the large-k path end to end: the projection-sort relabeling
+    (models/knn._proj_relabel — the greedy tour's k sequential argmins are
+    gated off above KNN_TOUR_MAX_K) and the on-the-fly per-chunk CD rows
+    (ops/knn_prune.search pass 1) that replaced the materialized
+    (k+1, k) matrix — at this k that matrix would be 1 GB replicated."""
+    from sklearn.neighbors import NearestNeighbors
+
+    from kmcuda_tpu import config, knn_tpu
+
+    assert 16384 > config.KNN_TOUR_MAX_K  # the point of the test
+    k, f, kn = 16384, 8, 4
+    rng = np.random.RandomState(7)
+    # ~2 members per cluster on average: centroid grid + jitter
+    cents = rng.rand(k, f).astype(np.float32) * 100.0
+    which = rng.randint(0, k, size=2 * k)
+    x = (cents[which] + 0.05 * rng.randn(2 * k, f)).astype(np.float32)
+    # true nearest centroid (not `which`): exactness must not depend on
+    # assignment quality, only on validity
+    d2 = (
+        (x ** 2).sum(1)[:, None] - 2.0 * x @ cents.T
+        + (cents ** 2).sum(1)[None, :])
+    a = np.argmin(d2, axis=1).astype(np.uint32)
+    nb = np.asarray(knn_tpu(kn, x, cents, a, verbosity=0))
+    ref = NearestNeighbors(n_neighbors=kn + 1).fit(x)
+    _, ref_i = ref.kneighbors(x)
+    # compare by distance profile (ties among equidistant points may
+    # legally order differently), exact to fp32 distance
+    dref = np.linalg.norm(x[:, None, :] - x[ref_i[:, 1:]], axis=2)
+    dgot = np.linalg.norm(x[:, None, :] - x[nb], axis=2)
+    assert nb.min() >= 0 and nb.max() < len(x)
+    # no self-neighbors
+    assert (nb != np.arange(len(x))[:, None]).all()
+    np.testing.assert_allclose(np.sort(dgot, 1), np.sort(dref, 1),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_large_k_compiles_and_clusters():
     """Large cluster counts must stay compile-bounded (no unrolled
     per-cluster work — the reference handles k up to 2^32-2 with O(1)
