@@ -183,10 +183,15 @@ YY_DENSE_FRACTION = 0.2
 #: number of plain-Lloyd dense iterations between refreshes doubles up to
 #: this many; one sparse (filter-engaged) iteration resets the period to 1.
 #: Bounds never affect the argmin, so this trades only wall time: on
-#: filter-hostile data the steady-state dense iteration costs one Lloyd
-#: pass + ~1/8 of a group-panel matmul instead of the full panel matmul
-#: every iteration.
-YY_REFRESH_BACKOFF_MAX = 8
+#: filter-hostile data the steady-state dense iteration costs exactly one
+#: Lloyd pass (the drift/count pass is skipped while the bounds are
+#: vacuous — ops.yinyang), so the worst case over plain Lloyd is one
+#: refresh probe (~1.3 Lloyd passes) per this many iterations: ~2% at 64.
+#: The cost of a large cap is delayed detection when converging drifts
+#: finally make the filter bite — but every skipped probe iteration is a
+#: full-value Lloyd iteration, so nothing is wasted, only the pruning
+#: upside arrives up to this many iterations late.
+YY_REFRESH_BACKOFF_MAX = 64
 
 #: A sparse-path tighten row (rowwise exact own-centroid distance) costs
 #: about a third of a local-filter row (full score + panel matmuls), so
@@ -206,3 +211,41 @@ YY_BOUNDS_F32_MAX_BYTES = 1 << 26
 #: global-filter candidate; 2 = also skip the tightened re-test).  Only for
 #: debugging filter soundness.
 YY_DEBUG_MODE = 0
+
+# --- host-side Yinyang wall-clock controller (models/yinyang.run) -------
+# The device loop's dense/sparse decision is a work model (candidate
+# fraction vs YY_DENSE_FRACTION); whether the sparse machinery's fixed
+# costs (compaction, gathers, (n, G) bound maintenance) actually beat a
+# rooflined Lloyd pass is hardware- and shape-dependent.  The host driver
+# measures segment wall clock and revokes the device loop's permission to
+# take the sparse branch when measured sparse throughput loses to the
+# draft's measured Lloyd throughput — the reference's contract that
+# Yinyang is never the slower choice (README.md:8-10), enforced by
+# measurement.  Like every Yinyang scheduling knob, this affects wall
+# time only, never results (test-locked).
+
+#: Master switch for the controller.  False = always allow the sparse
+#: branch (the pure work-model behavior).
+YY_WALL_CONTROLLER = True
+
+#: Iteration budget below which Yinyang is not entered at all: grouping +
+#: bound init cost a few Lloyd iterations and cannot amortize inside a
+#: small fixed `max_iterations`; the run continues on the (bitwise
+#: identical) incremental-Lloyd path instead.
+YY_MIN_REMAINING = 32
+
+#: Segment length (iterations) while a mode is on probation: the first
+#: Yinyang segment, and every re-probe after a revocation.  Short probes
+#: bound the cost of a wrong guess; winning segments grow geometrically
+#: back to LOOP_SEGMENT_ITERATIONS.
+YY_PROBE_ITERS = 8
+
+#: Hysteresis for revoking/granting the sparse branch: revoke when a
+#: sparse-heavy segment's s/iter exceeds the Lloyd reference by this
+#: factor; re-grant probes start after YY_REPROBE_ITERS iterations and
+#: the interval doubles after every failed probe (capped at
+#: YY_REPROBE_ITERS_MAX) — converging drifts can make the filter start
+#: paying arbitrarily late in a long run.
+YY_BAILOUT_MARGIN = 1.02
+YY_REPROBE_ITERS = 128
+YY_REPROBE_ITERS_MAX = 2048

@@ -100,14 +100,19 @@ class _SegmentDriver:
         # (mark, stale) resume state for ops.assign._stagnation_update
         self.stag = (int(np.iinfo(np.int32).max), 0)
 
-    def next_segment(self):
-        return min(config.LOOP_SEGMENT_ITERATIONS, self.cap - self.done)
+    def next_segment(self, seg=None):
+        """Iterations to request next: the configured segment length (or
+        the caller's override — the Yinyang wall-clock controller probes
+        with short segments), clamped to the remaining budget."""
+        want = config.LOOP_SEGMENT_ITERATIONS if seg is None else seg
+        return min(want, self.cap - self.done)
 
-    def limits(self, tol_count, *tail) -> jax.Array:
-        """Pack (tol, next_segment, patience, mark, stale, *tail) for the
+    def limits(self, tol_count, *tail, seg=None) -> jax.Array:
+        """Pack (tol, segment, patience, mark, stale, *tail) for the
         device loop — one int32 array, one transfer per segment."""
+        self._req = self.next_segment(seg)
         return jnp.asarray(
-            [tol_count, self.next_segment(), _patience(), *self.stag,
+            [tol_count, self._req, _patience(), *self.stag,
              *tail], jnp.int32)
 
     def absorb(self, it, changed_log, stag, extra=None):
@@ -115,7 +120,7 @@ class _SegmentDriver:
         device loop's returned (mark, stale) pair; ``extra(i)`` runs after
         each iteration line (e.g. Yinyang's candidate-count debug
         lines)."""
-        seg_req = self.next_segment()
+        seg_req = getattr(self, "_req", None) or self.next_segment()
         it = int(it)
         log = changed_log[:it].tolist()
         for i, c in enumerate(log):

@@ -19,6 +19,7 @@ reference's headline guarantee (README.md:74-75).
 """
 
 import functools
+import time
 
 import jax
 import jax.numpy as jnp
@@ -185,12 +186,26 @@ def _group_centroids(problem, centroids, groups, key):
 
 def run(problem, centroids, assignments, tolerance, groups,
         max_iterations=None, key=None):
-    """Full Yinyang: draft Lloyd -> centroid grouping -> bounded loop.
+    """Full Yinyang: draft Lloyd -> centroid grouping -> bounded loop,
+    under the wall-clock controller (config.YY_WALL_CONTROLLER).
+
+    The reference's contract is that Yinyang is never the slower choice
+    (README.md:8-10).  Whether the sparse machinery's fixed costs beat a
+    rooflined Lloyd pass is hardware- and shape-dependent, so the driver
+    *measures*: segment wall clock over a remote-link-synchronized
+    device_get, per-iteration throughput per branch, and it revokes the
+    device loop's permission to take the compacted branch (limits[6])
+    when measured sparse throughput loses to the measured Lloyd floor.
+    Revocation degrades Yinyang to plain-Lloyd-with-scheduled-refreshes
+    (the dense floor, ~2% over Lloyd); re-probes back off geometrically.
+    Every decision trades wall time only — the trajectory is bitwise
+    identical under any controller schedule (test-locked).
 
     Returns (centroids, assignments, best_scores_or_None, iterations)."""
     p = problem
     if max_iterations is None:
         max_iterations = config.DEFAULT_MAX_ITERATIONS
+    max_iterations = min(max_iterations, config.DEFAULT_MAX_ITERATIONS)
     if groups * _group_cap(p.k, groups) >= 2 ** 24:
         # beyond ~14.6M clusters the flat-slot lookup loses fp32 exactness
         # and the global filter stops pruning — Yinyang could only lose to
@@ -202,15 +217,70 @@ def run(problem, centroids, assignments, tolerance, groups,
         c, a, best, iters, _ = L.run(p, centroids, assignments, tolerance,
                                      max_iterations=max_iterations)
         return c, a, best, iters
+
+    ctl = bool(config.YY_WALL_CONTROLLER)
+    tol_count = int(tolerance * p.n)
+    draft_tol = int(config.YINYANG_DRAFT_REASSIGNMENTS * p.n)
     p.logger.debug(
         "yinyang: %d groups; draft Lloyd until < %.0f%% reassignments"
         % (groups, config.YINYANG_DRAFT_REASSIGNMENTS * 100))
-    centroids, assignments, sums, counts, it0, changed = L.run_incremental(
-        p, centroids, assignments, config.YINYANG_DRAFT_REASSIGNMENTS,
-        max_iterations=max_iterations)
-    if changed <= tolerance * p.n or it0 >= max_iterations:
-        return centroids, assignments, None, it0
 
+    # ---- phase 1: Lloyd draft (kmeans.cu:28,1051-1057), timed ----------
+    # One driver spans draft + main loop: the stagnation counters and the
+    # iteration budget flow through the algorithm switch, so the stopping
+    # iteration matches a pure Lloyd run of the same trajectory exactly.
+    lloyd_fn = L._build_run_incremental(p.topo.mesh, p.k, p.metric, p.chunk)
+    sums = p.topo.put_replicated(jnp.zeros((p.k, p.features), jnp.float32))
+    counts = p.topo.put_replicated(jnp.zeros((p.k,), jnp.int32))
+    drv = L._SegmentDriver(p.logger, draft_tol, max_iterations)
+    lloyd_spi = None   # measured seconds/iteration of a warm Lloyd segment
+    warm = False
+    c_used = c_next = centroids
+    while True:
+        t0 = time.perf_counter()
+        (c_used, c_next, assignments, _best, sums, counts, it, log,
+         stag) = lloyd_fn(p.x, p.x_sq, p.valid, assignments, centroids,
+                          sums, counts, drv.limits(draft_tol))
+        it, log, stag = jax.device_get((it, log, stag))
+        if warm and it > 0:
+            lloyd_spi = (time.perf_counter() - t0) / int(it)
+        warm = True
+        if not drv.absorb(it, log, stag):
+            break
+        centroids = c_next
+    # seam conventions (both bitwise — the two loops share one delta
+    # stream): the Yinyang loop re-derives the adjusted centroids from
+    # (sums, counts) and needs c_used (what the assignments were computed
+    # against) for the drift; a Lloyd continuation assigns against the
+    # ADJUSTED centroids, i.e. resumes from c_next.
+    centroids = c_used
+    if drv.last <= tol_count or drv.done >= drv.cap or drv.stagnated:
+        drv.finish()
+        return centroids, assignments, None, drv.done
+
+    drv.tol = tol_count
+    # ---- remaining-budget gate ------------------------------------------
+    # grouping + bound init cost a few Lloyd iterations; a small fixed
+    # iteration budget cannot amortize them, so finish on the (bitwise
+    # identical) incremental-Lloyd path instead
+    if ctl and drv.cap - drv.done < config.YY_MIN_REMAINING:
+        p.logger.debug(
+            "yinyang: %d iterations left < YY_MIN_REMAINING=%d; "
+            "finishing on the Lloyd path (identical results)"
+            % (drv.cap - drv.done, config.YY_MIN_REMAINING))
+        centroids = c_next          # Lloyd-resume convention (see above)
+        while True:
+            (c_used, c_next, assignments, _best, sums, counts, it, log,
+             stag) = lloyd_fn(p.x, p.x_sq, p.valid, assignments, centroids,
+                              sums, counts, drv.limits(tol_count))
+            it, log, stag = jax.device_get((it, log, stag))
+            if not drv.absorb(it, log, stag):
+                break
+            centroids = c_next
+        drv.finish()
+        return c_used, assignments, None, drv.done
+
+    # ---- phase 2: group the centroids (kmeans.cu:1061-1094) -------------
     if key is None:
         key = jax.random.key(0)
     _gof, flat_slot, pad_src, pad_pen, cap = _group_centroids(
@@ -230,36 +300,89 @@ def run(problem, centroids, assignments, tolerance, groups,
     run_fn = _build_yy_run(p.topo.mesh, p.k, groups, cap, p.metric,
                            p.chunk, debug_mode=config.YY_DEBUG_MODE,
                            bounds_dtype=bounds_dtype)
-    tol_count = int(tolerance * p.n)
     pad_src_d = p.topo.put_replicated(jnp.asarray(pad_src))
     pad_pen_d = p.topo.put_replicated(jnp.asarray(pad_pen))
     flat_slot_d = p.topo.put_replicated(jnp.asarray(flat_slot))
     u = p.topo.put_sharded(jnp.zeros((p.n_pad,), jnp.float32))
     l = p.topo.put_sharded(jnp.zeros((p.n_pad, groups), bounds_dtype))
-    # segmented device loop (bounded dispatches, live progress, exact
-    # (u, l, sums, counts, centroids) carryover between segments)
-    drv = L._SegmentDriver(
-        p.logger, tol_count,
-        max(1, min(max_iterations, config.DEFAULT_MAX_ITERATIONS) - it0),
-        iter_offset=it0)
+
+    # ---- phase 3: the segmented main loop under the controller ----------
+    # (bounded dispatches, live progress, exact (u, l, sums, counts,
+    # centroids) carryover between segments)
     resume = 0
+    sparse_ok = 1
+    seg = config.YY_PROBE_ITERS if ctl else None   # None = full segments
+    yy_warm = False         # first call may pay the yy_run compile
+    reprobe_after = config.YY_REPROBE_ITERS
+    since_revoke = 0
+    dense_frac = float(config.YY_DENSE_FRACTION) * p.n_pad
     while True:
+        t0 = time.perf_counter()
         (c_fin, assignments, it, log_ch, log_pa, log_ca, u, l, sums,
          counts, stag) = run_fn(
             p.x, p.x_sq, p.valid, assignments, centroids, sums, counts,
             pad_src_d, pad_pen_d, flat_slot_d, u, l,
-            drv.limits(tol_count, resume))
+            drv.limits(tol_count, resume, sparse_ok, seg=seg))
         it, log_ch, log_pa, log_ca, stag = jax.device_get(
             (it, log_ch, log_pa, log_ca, stag))
+        wall = time.perf_counter() - t0
 
         def _dbg(i):
             p.logger.debug("yinyang: %d candidates, %d samples passed the "
                            "global filter"
                            % (int(log_ca[i]), int(log_pa[i])))
 
-        if not drv.absorb(it, log_ch, stag, extra=_dbg):
-            break
+        cont = drv.absorb(it, log_ch, stag, extra=_dbg)
         centroids = c_fin
-        resume = 1
+        if not cont:
+            break
+        next_resume = 1
+        if ctl and int(it) > 0:
+            spi = wall / int(it)
+            # which branch dominated the segment: an iteration takes the
+            # compacted branch when the previous count was below the
+            # dense threshold and permission was granted
+            frac_sparse = float(
+                np.mean(np.asarray(log_ca[:it]) <= dense_frac))
+            grow = min((seg or config.LOOP_SEGMENT_ITERATIONS) * 2,
+                       config.LOOP_SEGMENT_ITERATIONS)
+            if not yy_warm:
+                seg = config.YY_PROBE_ITERS   # judge from the warm call on
+            elif sparse_ok and frac_sparse >= 0.5:
+                # sparse-heavy segment on probation: judge vs the floor
+                if (lloyd_spi is not None
+                        and spi > lloyd_spi * config.YY_BAILOUT_MARGIN):
+                    p.logger.debug(
+                        "yinyang: sparse branch revoked (%.3g s/it vs "
+                        "Lloyd %.3g)" % (spi, lloyd_spi))
+                    sparse_ok = 0
+                    since_revoke = 0
+                    seg = grow
+                else:
+                    seg = grow                # sparse pays — run long
+            elif sparse_ok:
+                # dense segment: the dense floor IS a Lloyd pass — the
+                # freshest available floor measurement (churn-dependent
+                # delta-update costs decay over the run)
+                if frac_sparse <= 0.25:
+                    lloyd_spi = spi
+                seg = grow
+            else:
+                # revoked: measure the floor, tick toward the re-probe
+                if frac_sparse <= 0.25:
+                    lloyd_spi = spi
+                since_revoke += int(it)
+                if since_revoke >= reprobe_after:
+                    p.logger.debug(
+                        "yinyang: re-probing the sparse branch after %d "
+                        "dense iterations" % since_revoke)
+                    sparse_ok = 1
+                    seg = config.YY_PROBE_ITERS
+                    reprobe_after = min(reprobe_after * 2,
+                                        config.YY_REPROBE_ITERS_MAX)
+                else:
+                    seg = grow
+        yy_warm = True
+        resume = next_resume
     drv.finish()
-    return c_fin, assignments, None, it0 + drv.done
+    return c_fin, assignments, None, drv.done

@@ -63,6 +63,17 @@ def pad_clusters(centroids: jax.Array, storage_dtype) -> tuple:
     return c.T.astype(storage_dtype), c_sq, penalty, ids
 
 
+def _rescore_table(centroids, f):
+    """NaN-sanitized zero-extended fp32 centroid table for the exact top-2
+    rescore (D.argmin_rescored).  Every assignment path MUST build this
+    identically (elementwise sanitize, row k = zeros) — the rescore's
+    bitwise batch-independence is what carries the Lloyd==Yinyang parity
+    guarantee (ops/yinyang.exact_assign_bounds builds the same table)."""
+    cf = centroids.astype(jnp.float32)
+    cf = jnp.concatenate([cf, jnp.zeros((1, f), jnp.float32)])
+    return jnp.where(jnp.isfinite(cf), cf, 0.0)
+
+
 def _mark_varying(tree, axis_name):
     """Under shard_map a scan/while carry touched by sharded data becomes
     device-varying; mark it as such upfront (no-op if already varying)."""
@@ -101,6 +112,7 @@ def _assign_update_pass(x, x_sq, valid, prev_assign, centroids, *,
     nl, f = x.shape
     k = n_clusters
     c_t, c_sq, penalty, orig_ids = pad_clusters(centroids, x.dtype)
+    c_ext = _rescore_table(centroids, f)
     cluster_ids = lax.broadcasted_iota(jnp.uint32, (1, k), 1)
 
     nchunks = nl // chunk
@@ -113,7 +125,7 @@ def _assign_update_pass(x, x_sq, valid, prev_assign, centroids, *,
         sums, counts, changed = carry
         xb, _xsqb, vb, pab = inp
         s = D.scores(xb, c_t, c_sq, penalty, metric)
-        best, aid = D.argmin_lowest_index(s, orig_ids, k)
+        best, aid, _d2 = D.argmin_rescored(s, orig_ids, k, xb, c_ext)
         aid = jnp.where(vb, aid, jnp.uint32(k))
         onehot = (aid[:, None] == cluster_ids)
         sums = sums + jnp.dot(onehot.astype(x.dtype).T, xb,
@@ -147,6 +159,7 @@ def assign_pass(x, valid, centroids, *, n_clusters, metric, chunk):
     nl, f = x.shape
     k = n_clusters
     c_t, c_sq, penalty, orig_ids = pad_clusters(centroids, x.dtype)
+    c_ext = _rescore_table(centroids, f)
     nchunks = nl // chunk
     xs = x.reshape(nchunks, chunk, f)
     vs = valid.reshape(nchunks, chunk)
@@ -154,7 +167,7 @@ def assign_pass(x, valid, centroids, *, n_clusters, metric, chunk):
     def body(_, inp):
         xb, vb = inp
         s = D.scores(xb, c_t, c_sq, penalty, metric)
-        best, aid = D.argmin_lowest_index(s, orig_ids, k)
+        best, aid, _d2 = D.argmin_rescored(s, orig_ids, k, xb, c_ext)
         aid = jnp.where(vb, aid, jnp.uint32(k))
         return None, (aid, best)
 

@@ -26,6 +26,7 @@ import enum
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from kmcuda_tpu import config
@@ -135,6 +136,61 @@ def argmin_lowest_index(score: jax.Array, orig_ids: jax.Array,
     best = jnp.min(score, axis=1, keepdims=True)
     ids = jnp.where(score <= best, orig_ids[None, :], fill)
     return best[:, 0], jnp.min(ids, axis=1).astype(jnp.uint32)
+
+
+def argmin_rescored(score, orig_ids, k, xb, c_ext):
+    """Batch-layout-independent assignment: exact top-2 rescore.
+
+    The score matmul's per-element rounding depends on how XLA tiles the
+    gemm, which depends on the BATCH layout — a gathered (compacted
+    Yinyang candidates) operand and a scan-sliced (Lloyd chunk) operand
+    can disagree by one ulp per score.  On a knife-edge sample whose two
+    nearest centroids sit within that ulp, the raw matmul argmin then
+    flips between the two paths, breaking the reference's Lloyd==Yinyang
+    bit-parity guarantee (README.md:74-75; its CUDA kernels are immune
+    because every path runs the same per-thread Kahan loop,
+    kmeans.cu:260-269).  Fix: take the matmul's two best candidates and
+    rescore them with the cancellation-free subtract-square form —
+    elementwise fp32 ops whose rounding is row-local, hence identical
+    under any batching.  A flip would now need THREE centroids inside one
+    ulp of the winner (so the true winner misses the matmul top-2), which
+    the margin of the second rescore rules out in practice; the knife-edge
+    fixture in tests/test_yy_invariants.py locks the observed case.
+
+    Args:
+      score:    (B, Kp) fp32 from :func:`scores` (pads/dead penalized).
+      orig_ids: (Kp,) int32 column -> original centroid id.
+      k:        cluster count (also the fill id).
+      xb:       (B, F) sample rows (storage dtype; cast exactly to fp32).
+      c_ext:    (k+1, F) fp32 natural-order centroids, NaN (dead) rows
+                zeroed, row k zeros — dead/pad candidates are masked by
+                their penalized score, never by the table.
+    Returns (best (B,) fp32 — the chosen centroid's *matmul* score (the
+    units every caller already exposes), aid (B,) uint32, d2 (B,) fp32 —
+    the exact squared L2 distance / squared chord of the winner, +inf
+    when no eligible centroid exists).
+    """
+    big = np.float32(config.PAD_PENALTY * 0.5)
+    s1, a1 = argmin_lowest_index(score, orig_ids, k)
+    smask = jnp.where(orig_ids[None, :] == a1[:, None].astype(jnp.int32),
+                      np.float32(np.inf), score)
+    s2, a2 = argmin_lowest_index(smask, orig_ids, k)
+    xf = xb.astype(jnp.float32)
+
+    def d2_of(aid, s_raw):
+        rows = c_ext[jnp.minimum(aid, k).astype(jnp.int32)]
+        diff = xf - rows
+        d2 = jnp.sum(diff * diff, axis=-1)
+        return jnp.where((aid >= k) | (s_raw >= big), np.float32(np.inf),
+                         d2)
+
+    d2a = d2_of(a1, s1)
+    d2b = d2_of(a2, s2)
+    take_b = (d2b < d2a) | ((d2b == d2a) & (a2 < a1))
+    aid = jnp.where(take_b, a2, a1)
+    best = jnp.where(take_b, s2, s1)
+    d2 = jnp.minimum(d2a, d2b)
+    return best, aid, d2
 
 
 def normalize_centroids(sums: jax.Array, counts: jax.Array,

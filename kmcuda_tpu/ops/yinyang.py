@@ -109,10 +109,13 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
                resume: the previous segment's returned (u, l) +
                resume=1 — bitwise-exact continuation (the host driver
                bounds each device dispatch, models/lloyd._SegmentDriver).
-    limits:    int32[6] = (tol_count, max_iterations, patience, mark0,
-               stale0, resume) packed in one array (single transfer per
-               segment call); (mark0, stale0) resume the stagnation
-               counters across segments (int32 max / 0 fresh).
+    limits:    int32[7] = (tol_count, max_iterations, patience, mark0,
+               stale0, resume, sparse_ok) packed in one array (single
+               transfer per segment call); (mark0, stale0) resume the
+               stagnation counters across segments (int32 max / 0
+               fresh); sparse_ok is the wall-clock controller's
+               permission for the compacted branch (wall time only,
+               never results).
 
     Returns (centroids_used, assign, iterations, changed_log, passed_log,
     cand_log, u, l, sums, counts, stag) — ``stag`` is the int32[2]
@@ -120,6 +123,12 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
     """
     tol_count, max_iterations = limits[0], limits[1]
     patience, resume = limits[2], limits[5] != 0
+    # host-revocable permission to take the compacted (sparse) branch:
+    # the wall-clock controller (models/yinyang.run) grants/revokes it
+    # per segment by measurement; a dynamic scalar, so toggling never
+    # recompiles.  Affects wall time only — both branches produce
+    # bitwise-identical assignments (see dense_iter docstring).
+    sparse_ok = limits[6] != 0
     k, g, p = n_clusters, groups, group_cap
     centroids0 = centroids0.astype(jnp.float32)
     sums0 = sums0.astype(jnp.float32)
@@ -170,7 +179,7 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
 
     def cond(carry):
         it, changed = carry[5], carry[6]
-        _bestch, stale = carry[10][6], carry[10][7]
+        _bestch, stale = carry[10][7], carry[10][8]
         return (it == 0) | ((changed > tol_count) & (it < max_iterations)
                             & (stale < patience))
 
@@ -178,7 +187,7 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
     def body(carry):
         (c_cur, assign, u, l, sc, it, _changed, log_ch,
          log_pa, log_ca, (refresh_in, period, tskip_in, tperiod,
-                          prev_cand, refreshed_prev, bestch,
+                          prev_cand, refreshed_prev, l_vac, bestch,
                           stale)) = carry
         sums, counts = sc
         first = (it == 0) & jnp.logical_not(resume)
@@ -202,6 +211,10 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
         c_sq_ext = jnp.where(jnp.isfinite(c_sq_raw), c_sq_raw,
                              config.PAD_PENALTY)
         eps = D.rounding_eps(x.dtype)
+        # relative upward margin on the rescored exact d2: fp32 sum of f
+        # squares rounds by <= ~f * 2^-24; 4x slack keeps u a true upper
+        # bound at any feature count
+        u_eps = float(f) * 2.0 ** -22
         c_t, c_sq_pad, penalty, orig_ids = pad_clusters(c_new, x.dtype)
         # padded-group centroid panel for the local filter's group minima:
         # a second, smaller matmul replaces the (B, k)->(B, G*P) lane
@@ -295,13 +308,16 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
             kmeans.cu:585-672), shared by the compacted and dense paths
             so both produce bitwise-identical values per row.
 
-            The assignment (and u) ALWAYS comes from the same
-            natural-column-layout score matmul as the Lloyd pass — that is
-            the Lloyd==Yinyang parity guarantee (README.md:74-75).  A
-            permuted/padded layout cannot substitute: XLA's gemm
-            reassociates the f-contraction differently for different
-            output widths, so per-element scores are NOT bitwise stable
-            across layouts (measured on the CPU backend).
+            The assignment comes from the same natural-column-layout
+            score matmul as the Lloyd pass PLUS the exact top-2 rescore
+            (D.argmin_rescored) — that combination is the Lloyd==Yinyang
+            parity guarantee (README.md:74-75).  Neither alone suffices:
+            XLA's gemm reassociates the f-contraction differently for
+            different output widths AND for gathered vs scan-sliced
+            batches, so per-element scores are NOT bitwise stable across
+            layouts (measured on the CPU backend; one-ulp argmin flips on
+            knife-edge samples).  The rescore resolves any such tie with
+            row-local elementwise arithmetic.
 
             ``with_l=False`` skips the group-minima panel matmul and
             returns vacuous zero lower bounds (sound: l only ever
@@ -309,15 +325,23 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
             path uses it to drop to plain-Lloyd cost on filter-hostile
             data."""
             s = D.scores(xb, c_t, c_sq_pad, penalty, metric)
-            best, aid = D.argmin_lowest_index(s, orig_ids, k)
-            # the stored upper bound gets an upward margin: the raw score
-            # can round below the true distance, and a too-small u lets
-            # the drift test wrongly skip a knife-edge sample later
+            # exact top-2 rescore: the argmin is bitwise batch-layout
+            # independent, which is what lets the compacted (gathered)
+            # path match the Lloyd chunk scan per row (the table is built
+            # identically to ops/assign._rescore_table)
+            _best, aid, d2 = D.argmin_rescored(s, orig_ids, k, xb,
+                                               c_new_ext)
+            # the stored upper bound gets an upward margin: the rescored
+            # d2 is elementwise fp32 (error <= ~f * 2^-24 relative, no
+            # cancellation), and a too-small u lets the drift test
+            # wrongly skip a knife-edge sample later
+            d2m = d2 * (1.0 + u_eps)
             if metric == D.DistanceMetric.L2:
-                best_m = best + eps * (xsqb + jnp.abs(best))
+                u_new = jnp.sqrt(d2m)
             else:
-                best_m = best + eps
-            u_new = D.finalize_distance(best_m, xsqb, metric)
+                # exact angle for unit vectors: 2 asin(chord / 2)
+                u_new = 2.0 * jnp.arcsin(
+                    jnp.clip(jnp.sqrt(d2m) * 0.5, 0.0, 1.0))
             if not with_l:
                 return aid, u_new, _mark_varying(
                     jnp.zeros((xb.shape[0], g), bounds_dtype), axis_name)
@@ -481,7 +505,7 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
             the argmin never reads a bound), so mode choice never changes
             the output, only the wall time.  At most two (n, G) arrays
             are ever live."""
-            mode_refresh, mode_preserve = flags[0], flags[1]
+            mode_refresh, mode_preserve, lvac = flags[0], flags[1], flags[3]
 
             def l2_and_count():
                 return scan_l2()
@@ -490,8 +514,18 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
                 return scan_count(), _mark_varying(
                     jnp.zeros((nl, g), bounds_dtype), axis_name)
 
+            def skip_count():
+                # vacuous lower bounds (zeros): lmin <= 0 <= u for every
+                # row, so the drift/count pass provably returns "all valid
+                # rows" — skip its O(n*k) one-hot drift matvec entirely.
+                # This is what makes the plain dense iteration cost
+                # exactly one Lloyd assignment pass.
+                return n_valid_local, _mark_varying(
+                    jnp.zeros((nl, g), bounds_dtype), axis_name)
+
             n_cand, l_keep = lax.cond(
-                mode_preserve, l2_and_count, count_only)
+                mode_preserve, l2_and_count,
+                lambda: lax.cond(lvac, skip_count, count_only))
 
             def dpass(with_l):
                 def dbody(_, inp):
@@ -532,7 +566,7 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
         n_all = jnp.int32(nl)
         if axis_name is not None:
             n_all = lax.psum(n_all, axis_name)
-        use_dense = first | (
+        use_dense = first | jnp.logical_not(sparse_ok) | (
             prev_cand.astype(jnp.float32)
             > config.YY_DENSE_FRACTION * n_all.astype(jnp.float32))
         if debug_mode != 0:  # triage modes must exercise the sparse path
@@ -550,7 +584,11 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
             do_tighten = jnp.bool_(True)
         assign2, u4, l4, n_cand, passed_n = lax.cond(
             use_dense, dense_iter, sparse_iter, assign, u, l,
-            (mode_refresh, mode_preserve, do_tighten))
+            (mode_refresh, mode_preserve, do_tighten, l_vac))
+        # the lower bounds come out vacuous (zeros) exactly after a plain
+        # dense iteration; tracking that lets the next iteration skip the
+        # provably-all-candidates drift/count pass
+        l_vac2 = use_dense & ~mode_refresh & ~mode_preserve
         n_cand_all = n_cand
         if axis_name is not None:
             n_cand_all = lax.psum(n_cand_all, axis_name)
@@ -602,7 +640,7 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
                 (sums + d_sums, counts + d_counts), it + 1, changed2,
                 log_ch, log_pa, log_ca,
                 (refresh_in2, period2, tskip_in2, tperiod2,
-                 n_cand_all, mode_refresh, mark2, stale2))
+                 n_cand_all, mode_refresh, l_vac2, mark2, stale2))
 
     assign0, u0, l0 = _mark_varying(
         (assign0, u0, l0.astype(bounds_dtype)), axis_name)
@@ -613,8 +651,12 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
             jnp.zeros((LOG_CAPACITY,), jnp.int32),
             (jnp.int32(0), jnp.int32(1), jnp.int32(0), jnp.int32(1),
              jnp.int32(0), jnp.bool_(False),
+             # l starts vacuous on a fresh start (zeros); a resumed
+             # segment's carried l is treated as real (conservative: one
+             # count pass, then the schedule re-learns vacuity)
+             jnp.logical_not(resume),
              limits[3], limits[4]))
     (c_cur, assign, u_fin, l_fin, (sums_fin, counts_fin), it, _changed,
      log_ch, log_pa, log_ca, rb) = lax.while_loop(cond, body, init)
     return (c_cur, assign, it, log_ch, log_pa, log_ca, u_fin, l_fin,
-            sums_fin, counts_fin, jnp.stack([rb[6], rb[7]]))
+            sums_fin, counts_fin, jnp.stack([rb[7], rb[8]]))

@@ -20,3 +20,14 @@ if os.environ.get("KMTPU_TEST_TPU") != "1":
     # cross-device collective for minutes (measured 277 s .. >580 s for one
     # all-reduce on a 1-core host; 0.7 s synchronous)
     jax.config.update("jax_cpu_enable_async_dispatch", False)
+
+# The Yinyang wall-clock controller makes *timing*-based scheduling
+# decisions (sparse-branch revocation, budget gate).  They never change
+# results (test-locked), but on a noisy shared-CPU test box they would
+# make WHICH code path a test exercises nondeterministic.  Pin the
+# controller to "always allow, never gate" for the suite; the dedicated
+# controller tests monkeypatch these back.
+from kmcuda_tpu import config as _config  # noqa: E402
+
+_config.YY_MIN_REMAINING = 0
+_config.YY_BAILOUT_MARGIN = float("inf")

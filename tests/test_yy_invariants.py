@@ -94,7 +94,7 @@ def test_bound_invariants(tight):
                p.topo.put_sharded(jnp.zeros((p.n_pad,), jnp.float32)),
                p.topo.put_sharded(
                    jnp.zeros((p.n_pad, groups), jnp.float32)),
-               jnp.asarray([-1, 6, 50, np.iinfo(np.int32).max, 0, 0],
+               jnp.asarray([-1, 6, 50, np.iinfo(np.int32).max, 0, 0, 1],
                            jnp.int32))
     (c_fin, assign, _it2, _lch, _lpa, _lca, u_fin, l_fin, _sums,
      _counts, _stag) = out
@@ -301,3 +301,103 @@ def test_segment_length_invariant_with_stagnation(tight, monkeypatch,
     assert s_stag and s_iters == r_iters
     assert np.array_equal(np.asarray(ra), np.asarray(sa))
     assert np.array_equal(np.asarray(rc), np.asarray(sc), equal_nan=True)
+
+
+def test_wall_controller_never_changes_results(tight, monkeypatch):
+    """The wall-clock controller (models/yinyang.run) revokes / re-grants
+    the device loop's sparse-branch permission and shortens probe
+    segments from host-side timing.  Timing is nondeterministic, so the
+    contract is: ANY controller schedule yields the bitwise-identical
+    trajectory.  Force the two extreme schedules (revoke-always via
+    margin 0, grant-always via margin inf — the conftest default) and a
+    tight re-probe cycle, and compare."""
+    import jax
+
+    from kmcuda_tpu import config
+    from kmcuda_tpu.models import initialization as I
+    from kmcuda_tpu.models import lloyd as L
+    from kmcuda_tpu.models import yinyang as Y
+    from kmcuda_tpu.models.problem import prepare
+    from kmcuda_tpu.ops.distance import DistanceMetric
+    from kmcuda_tpu.parallel.mesh import Topology
+    from kmcuda_tpu.utils.logging import Logger
+
+    x, k = tight
+    topo = Topology(jax.devices()[:1])
+    p = prepare(x, k, DistanceMetric.L2, topo, Logger(0))
+    key = jax.random.key(5)
+    c0 = I.init_centroids(p, I.InitMethod.RANDOM, key)
+    ref_c, ref_a, _b, ref_it = Y.run(
+        p, c0, L.new_assignments(p), 0.0, 25, max_iterations=60, key=key)
+    ref_c, ref_a = np.asarray(ref_c), np.asarray(ref_a)
+
+    # revoke the sparse branch the moment it is measured (margin 0 makes
+    # every sparse-heavy segment "lose"), re-probe after 4 iterations,
+    # with 2-iteration probe segments: exercises revoke + regrant + the
+    # probe/grow segment schedule
+    monkeypatch.setattr(config, "YY_BAILOUT_MARGIN", 0.0)
+    monkeypatch.setattr(config, "YY_PROBE_ITERS", 2)
+    monkeypatch.setattr(config, "YY_REPROBE_ITERS", 4)
+    monkeypatch.setattr(config, "YY_REPROBE_ITERS_MAX", 8)
+    yc, ya, _b2, it2 = Y.run(
+        p, c0, L.new_assignments(p), 0.0, 25, max_iterations=60, key=key)
+    assert it2 == ref_it
+    assert np.array_equal(ref_a, np.asarray(ya))
+    assert np.array_equal(ref_c, np.asarray(yc), equal_nan=True)
+
+
+def test_budget_gate_never_changes_results(tight, monkeypatch, capsys):
+    """With a small fixed iteration budget the controller refuses to pay
+    the Yinyang setup (grouping + bound init) and finishes on the
+    incremental-Lloyd path — same results, and the gate must actually
+    fire (no grouping debug line)."""
+    from kmcuda_tpu import config
+
+    x, k = tight
+    ref_c, ref_a = kmeans_tpu(x, k, init="random", seed=5, tolerance=0.0,
+                              max_iterations=20, yinyang_t=0.1)
+    capsys.readouterr()
+    monkeypatch.setattr(config, "YY_MIN_REMAINING", 1 << 30)
+    gc, ga = kmeans_tpu(x, k, init="random", seed=5, tolerance=0.0,
+                        max_iterations=20, yinyang_t=0.1, verbosity=2)
+    out = capsys.readouterr().out
+    assert "YY_MIN_REMAINING" in out, "the gate must fire"
+    assert "group capacity" not in out, "grouping must be skipped"
+    assert np.array_equal(np.asarray(ref_a), np.asarray(ga))
+    assert np.array_equal(np.asarray(ref_c), np.asarray(gc),
+                          equal_nan=True)
+
+
+def test_knife_edge_ulp_tie_parity():
+    """Regression for a real parity hole: a sample whose two nearest
+    centroids end up one fp32 ulp apart (fp64 gap ~6e-6 on |score| ~110)
+    flipped between the compacted Yinyang path and the Lloyd chunk scan,
+    because XLA's gemm rounds gathered vs scan-sliced batches differently.
+    The exact top-2 rescore (ops/distance.argmin_rescored) resolves the
+    tie with row-local arithmetic; this fixture reproduced the flip at
+    iteration 16 before the fix."""
+    import jax
+
+    from kmcuda_tpu import config
+    from kmcuda_tpu.models import initialization as I
+    from kmcuda_tpu.models import lloyd as L
+    from kmcuda_tpu.models import yinyang as Y
+    from kmcuda_tpu.models.problem import prepare
+    from kmcuda_tpu.ops.distance import DistanceMetric
+    from kmcuda_tpu.parallel.mesh import Topology
+    from kmcuda_tpu.utils.logging import Logger
+
+    rng = np.random.RandomState(0)
+    centers = rng.rand(20, 8).astype(np.float32) * 5
+    x = (centers[rng.randint(0, 20, 6000)]
+         + 0.1 * rng.randn(6000, 8)).astype(np.float32)
+    topo = Topology(jax.devices())
+    p = prepare(x, 50, DistanceMetric.L2, topo, Logger(0))
+    key = jax.random.key(5)
+    c0 = I.init_centroids(p, I.InitMethod.RANDOM, key)
+    lc, la, *_ = L.run_incremental(
+        p, c0, L.new_assignments(p), 0.0, max_iterations=50)
+    yc, ya, _b, _it = Y.run(
+        p, c0, L.new_assignments(p), 0.0, 5, max_iterations=50, key=key)
+    assert np.array_equal(np.asarray(la), np.asarray(ya))
+    assert np.array_equal(np.asarray(lc), np.asarray(yc), equal_nan=True)
