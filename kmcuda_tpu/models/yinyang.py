@@ -219,6 +219,25 @@ def run(problem, centroids, assignments, tolerance, groups,
         return c, a, best, iters
 
     ctl = bool(config.YY_WALL_CONTROLLER)
+    if ctl and max_iterations < config.YY_MIN_REMAINING:
+        # pre-draft budget gate: the post-draft gate below would route to
+        # the Lloyd path anyway (cap - done < cap < YY_MIN_REMAINING), but
+        # only after paying the draft/finish segment split — one extra
+        # dispatch + remote-link round trip that a 15-iteration benchmark
+        # budget cannot hide.  Delegating the WHOLE run to the Lloyd
+        # driver up front is the same trajectory (draft IS Lloyd; the
+        # draft threshold only decides when grouping would start, and it
+        # never starts here) at yinyang_t=0 wall cost — the reference's
+        # own shape of fallback (tolerance >= 0.11 -> pure Lloyd,
+        # kmeans.cu:1037-1050), generalized to the iteration budget.
+        p.logger.debug(
+            "yinyang: budget %d < YY_MIN_REMAINING=%d; running the Lloyd "
+            "driver outright (identical results)"
+            % (max_iterations, config.YY_MIN_REMAINING))
+        c, a, _s, _cn, iters, _ch = L.run_incremental(
+            p, centroids, assignments, tolerance,
+            max_iterations=max_iterations)
+        return c, a, None, iters
     tol_count = int(tolerance * p.n)
     draft_tol = int(config.YINYANG_DRAFT_REASSIGNMENTS * p.n)
     p.logger.debug(
