@@ -97,6 +97,21 @@ def storage_dtype_for(samples_dtype) -> object:
         % samples_dtype)
 
 
+def _shares_buffers(a: jax.Array, b: jax.Array) -> bool:
+    """True unless ``a`` and ``b`` provably occupy disjoint device memory.
+
+    Donation safety gate: compares the per-shard device buffer pointers.
+    Conservative by construction — if the pointers cannot be read (e.g. a
+    committed-elsewhere array), it reports sharing, which merely disables
+    a donation optimization, never corrupts a caller buffer."""
+    try:
+        pa = {s.data.unsafe_buffer_pointer() for s in a.addressable_shards}
+        pb = {s.data.unsafe_buffer_pointer() for s in b.addressable_shards}
+    except Exception:
+        return True
+    return bool(pa & pb)
+
+
 def prepare(samples, k: int, metric: DistanceMetric, topo: Topology,
             logger, chunk: int | None = None, donate: bool = False) -> Problem:
     """Pad, shard, and clean the sample matrix.
@@ -133,12 +148,16 @@ def prepare(samples, k: int, metric: DistanceMetric, topo: Topology,
         pass
     else:
         staged = jax.device_put(x_pad, target)
-        if staged is not x_pad:
+        if not donate and staged is not x_pad \
+                and not _shares_buffers(staged, x_pad):
             # device_put made a resharding copy that is library-owned —
             # consume it, or both it and the cleaned copy stay live and
             # peak HBM doubles in exactly the near-HBM regime donation
-            # targets.  (When donate was already True the caller's buffer
-            # is ours by contract either way.)
+            # targets.  Promotion requires PROOF of no-alias (distinct
+            # device buffer pointers), not just a distinct Python object:
+            # device_put returning a fresh Array view over the caller's
+            # buffers is undocumented-but-possible, and donating such a
+            # view would invalidate the caller's array (ADVICE r2).
             donate = True
         x_pad = staged
 
