@@ -142,7 +142,7 @@ def _kernel(order_ref, bound_ref, nsteps_ref, nqv_ref, nval_ref,
             sem, *,
             kn: int, kk: int, kkp: int, group: int, tile_m: int,
             metric: D.DistanceMetric, precision, slack: float,
-            stop_bound: float):
+            eps_env: float, stop_bound: float):
     i = pl.program_id(0)
     gm = group * tile_m
     chunk = xq_ref.shape[0]
@@ -204,6 +204,16 @@ def _kernel(order_ref, bound_ref, nsteps_ref, nqv_ref, nval_ref,
             else:
                 d = jnp.arccos(jnp.clip(prod, -1.0, 1.0))
             d = d * (1.0 + slack)                          # upward margin
+            if eps_env > 0.0:
+                # bf16 storage: same absolute dot-form error envelope as
+                # the XLA walk (knn_prune.search pass 2, ADVICE r2) —
+                # without it tau can undershoot the true kth distance by
+                # ~2^-8 * |q|^2 and prune a tile holding a true neighbor
+                if metric == D.DistanceMetric.L2:
+                    d = d + jnp.sqrt(
+                        eps_env * (xqsq_ref[:] + msq_buf[:]))
+                else:
+                    d = d + np.float32(np.sqrt(2.0 * eps_env))
             # member padded positions, from the tile ids (no DMA needed)
             mpos = in_tile
             for g in range(group):
@@ -245,11 +255,12 @@ def _kernel(order_ref, bound_ref, nsteps_ref, nqv_ref, nval_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("k_neighbors", "kk", "chunk", "tile_m", "group",
-                     "metric", "interpret", "axis_name"))
+                     "metric", "eps_env", "interpret", "axis_name"))
 def walk(xq, xq_sq, q_pos, q_valid, n_qvalid, n_steps, tile_order,
          sorted_min, tile_nvalid, xm, xm_sq, m_spos, *,
          k_neighbors: int, kk: int, chunk: int, tile_m: int, group: int,
-         metric: D.DistanceMetric, interpret: bool, axis_name=None):
+         metric: D.DistanceMetric, eps_env: float = 0.0,
+         interpret: bool, axis_name=None):
     """Run the fused walk over a batch of query chunks.
 
     xq: (nb, f) batch queries (cluster-sorted padded layout).
@@ -285,7 +296,8 @@ def walk(xq, xq_sq, q_pos, q_valid, n_qvalid, n_steps, tile_order,
     kern = functools.partial(
         _kernel, kn=k_neighbors, kk=kk, kkp=kkp, group=group,
         tile_m=tile_m, metric=metric, precision=precision,
-        slack=float(KP.SLACK), stop_bound=float(KP.STOP_BOUND))
+        slack=float(KP.SLACK), eps_env=float(eps_env),
+        stop_bound=float(KP.STOP_BOUND))
     bi, ex = pl.pallas_call(
         kern,
         grid=(nchunks,),

@@ -322,7 +322,7 @@ def search(xq, xq_sq, q_assign, xm, m_spos, c_rank, r_ext,
             xq, xq_sq, q_pos, q_valid, n_qvalid_c, n_steps,
             tile_order_all, sorted_min_all, tile_nvalid, xm, xm_sq,
             m_spos, k_neighbors=k_neighbors, kk=kk, chunk=chunk,
-            tile_m=tile_m, group=group, metric=metric,
+            tile_m=tile_m, group=group, metric=metric, eps_env=eps_env,
             interpret=pallas_interpret, axis_name=axis_name)
 
         def resc(_, inp):

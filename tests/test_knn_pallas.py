@@ -65,6 +65,28 @@ def test_pallas_walk_matches_xla_walk(with_nan):
     assert float(cnt_p) == pytest.approx(float(cnt_x), rel=1e-6)
 
 
+def test_pallas_walk_matches_xla_walk_bf16():
+    """bf16 storage engages the absolute dot-form error envelope
+    (eps_env) in BOTH walks; the kernel must inflate identically or the
+    two paths prune different tiles (ADVICE r2)."""
+    rng = np.random.RandomState(5)
+    kc, f, n = 16, 128, 16384
+    centers = rng.rand(kc, f).astype(np.float32) * 8.0
+    which = rng.randint(0, kc, n)
+    x = centers[which] + 0.3 * rng.randn(n, f).astype(np.float32)
+    x16 = jnp.asarray(x, jnp.bfloat16)
+    args, kw, _group = _search_inputs(x16, kc, k_neighbors=9)
+
+    fx = jax.jit(functools.partial(KP.search, **kw, use_pallas=False))
+    fp = jax.jit(functools.partial(KP.search, **kw, use_pallas=True,
+                                   pallas_interpret=True))
+    nbr_x, dist_x, cnt_x = jax.device_get(fx(*args))
+    nbr_p, dist_p, cnt_p = jax.device_get(fp(*args))
+    np.testing.assert_array_equal(nbr_p, nbr_x)
+    np.testing.assert_array_equal(dist_p, dist_x)
+    assert float(cnt_p) == pytest.approx(float(cnt_x), rel=1e-6)
+
+
 def test_pallas_walk_matches_xla_walk_cosine():
     rng = np.random.RandomState(11)
     kc, f, n = 16, 128, 16384
