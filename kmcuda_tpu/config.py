@@ -141,10 +141,11 @@ KNN_QUERY_BATCH = 65536
 #: (knn_pallas.supported); False = never.  Non-TPU backends always take
 #: the XLA walk (interpret-mode Pallas under shard_map trips vma checks;
 #: the kernel is exercised directly by tests/test_knn_pallas.py).
-#: Default False until the Mosaic compile + speedup are validated on the
-#: attached chip (the interpret parity tests already lock bit-identical
-#: results).
-USE_PALLAS_KNN = False
+#: Validated on the attached v5e (round 3): Mosaic compile clean, bit
+#: -identical neighbors vs the XLA walk, and 2.16x faster wall
+#: (0.242 s vs 0.522 s at 100K x 64, k=256, 16-nn, warm) — the DMA'd
+#: VMEM-resident tour beats the HBM round-tripping while_loop walk.
+USE_PALLAS_KNN = "auto"
 
 #: VMEM compiler budget for the fused k-nn walk kernel; the engagement
 #: gate (knn_pallas.supported) keeps the live set under 48 MB, leaving

@@ -134,12 +134,13 @@ def _extract_k(z_d, z_i, kk: int, kkp: int, stop_at=None):
     return od, oi
 
 
-def _kernel(order_ref, bound_ref, nsteps_ref, nqv_ref, nval_ref,
+def _kernel(order_hbm, bound_hbm, meta_hbm, nval_ref,
             xq_ref, xqsq_ref, qpos_ref, qvalid_ref,
             xm_hbm, msq_hbm, mspos_hbm,
             bi_ref, ex_ref,
             bd_ref, xm_buf, msq_buf, mspos_buf, zd_buf, zi_buf, tau_ref,
-            sem, *,
+            order_ref, bound_ref, meta_ref,
+            sem, sem_s, *,
             kn: int, kk: int, kkp: int, group: int, tile_m: int,
             metric: D.DistanceMetric, precision, slack: float,
             eps_env: float, stop_bound: float):
@@ -150,6 +151,24 @@ def _kernel(order_ref, bound_ref, nsteps_ref, nqv_ref, nval_ref,
     @pl.when(i == 0)
     def _init_ex():
         ex_ref[0, 0] = jnp.float32(0)
+
+    # per-chunk tour metadata: a (1, nte) block of a (nchunks, nte) SMEM
+    # array violates Mosaic's block-shape rule (the sublane dim must be
+    # 8-divisible or whole), and a 1-row DMA slice of a 2D tiled memref
+    # violates its (8, 128) tiling — both found on hardware, round 3.  So
+    # the tours live as (nchunks, 1, nte) arrays with nte padded to a
+    # lane multiple (the chunk index is an untiled page dim, sliceable
+    # by 1; the DMA'd page is lane-whole) and each program DMAs its own
+    # page into SMEM scratch; n_steps/n_qvalid ride one meta page.
+    scal = [
+        pltpu.make_async_copy(order_hbm.at[i], order_ref, sem_s.at[0]),
+        pltpu.make_async_copy(bound_hbm.at[i], bound_ref, sem_s.at[1]),
+        pltpu.make_async_copy(meta_hbm.at[i], meta_ref, sem_s.at[2]),
+    ]
+    for c in scal:
+        c.start()
+    for c in scal:
+        c.wait()
 
     qvalid = qvalid_ref[:] != 0                            # (chunk, 1)
     # buffer init: valid rows (+inf, -1); invalid rows -inf so they never
@@ -162,7 +181,7 @@ def _kernel(order_ref, bound_ref, nsteps_ref, nqv_ref, nval_ref,
     lane_g = lax.broadcasted_iota(jnp.int32, (1, gm), 1)
     in_tile = lane_g % tile_m
     seg = lane_g // tile_m
-    n_qvalid = jnp.float32(nqv_ref[0, 0])
+    n_qvalid = jnp.float32(meta_ref[0, 1])
 
     def step(r_step, active):
         r = r_step * group
@@ -249,7 +268,7 @@ def _kernel(order_ref, bound_ref, nsteps_ref, nqv_ref, nval_ref,
 
         return act
 
-    lax.fori_loop(0, nsteps_ref[0, 0], step, jnp.bool_(True))
+    lax.fori_loop(0, meta_ref[0, 0], step, jnp.bool_(True))
 
 
 @functools.partial(
@@ -280,8 +299,28 @@ def walk(xq, xq_sq, q_pos, q_valid, n_qvalid, n_steps, tile_order,
 
     nb, f = xq.shape
     nchunks = nb // chunk
-    nte = tile_order.shape[1]
     nt = tile_nvalid.shape[0]
+    # the member-tile DMA slices whole rows out of HBM, and a DMA
+    # slice's lane dim must be whole (Mosaic pads f<128 to 128 lanes and
+    # forbids the sub-lane slice — found on hardware, round 3): pad the
+    # feature dim with zero lanes, which are inert for both metrics
+    # (norms arrive separately; zero lanes add nothing to the dot)
+    f_pad = -(-f // 128) * 128
+    if f_pad != f:
+        xq = jnp.pad(xq, ((0, 0), (0, f_pad - f)))
+        xm = jnp.pad(xm, ((0, 0), (0, f_pad - f)))
+        f = f_pad
+    # the per-chunk tour pages are DMA'd whole, and a DMA slice's lane
+    # dim must be 128-aligned (Mosaic tiling): pad the tours with inert
+    # entries (the filler tile, an unreachable bound) up to a multiple
+    # of 128.  n_steps and the bound gate keep the walk off the padding.
+    nte = -(-tile_order.shape[1] // 128) * 128
+    if nte != tile_order.shape[1]:
+        pad = nte - tile_order.shape[1]
+        tile_order = jnp.pad(tile_order, ((0, 0), (0, pad)),
+                             constant_values=nt - 1)
+        sorted_min = jnp.pad(sorted_min, ((0, 0), (0, pad)),
+                             constant_values=INF)
     kkp = -(-kk // 128) * 128
     gm = group * tile_m
     precision = D.mm_precision(xq.dtype)
@@ -298,18 +337,13 @@ def walk(xq, xq_sq, q_pos, q_valid, n_qvalid, n_steps, tile_order,
         tile_m=tile_m, metric=metric, precision=precision,
         slack=float(KP.SLACK), eps_env=float(eps_env),
         stop_bound=float(KP.STOP_BOUND))
-    bi, ex = pl.pallas_call(
+    call = pl.pallas_call(
         kern,
         grid=(nchunks,),
         in_specs=[
-            pl.BlockSpec((1, nte), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),       # tile_order
-            pl.BlockSpec((1, nte), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),       # sorted_min
-            pl.BlockSpec((1, 1), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),       # n_steps
-            pl.BlockSpec((1, 1), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),       # n_qvalid
+            pl.BlockSpec(memory_space=pl.ANY),        # tile_order (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),        # sorted_min (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),        # meta (HBM)
             pl.BlockSpec((1, nt), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),       # tile_nvalid
             pl.BlockSpec((chunk, f), lambda i: (i, 0),
@@ -341,14 +375,22 @@ def walk(xq, xq_sq, q_pos, q_valid, n_qvalid, n_steps, tile_order,
             pltpu.VMEM((chunk, 2 * kkp), jnp.float32),   # zd (union)
             pltpu.VMEM((chunk, 2 * kkp), jnp.int32),     # zi (union)
             pltpu.SMEM((1, 1), jnp.float32),             # tau
+            pltpu.SMEM((1, nte), jnp.int32),             # tile_order row
+            pltpu.SMEM((1, nte), jnp.float32),           # sorted_min row
+            pltpu.SMEM((1, 128), jnp.int32),             # meta page
             pltpu.SemaphoreType.DMA((3 * group,)),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=config.KNN_PALLAS_VMEM_LIMIT),
-    )(tile_order, sorted_min, n_steps[:, None], n_qvalid[:, None],
-      tile_nvalid[None, :],
-      xq, xq_sq[:, None], q_pos[:, None],
-      q_valid.astype(jnp.int32)[:, None],
-      xm, xm_sq[None, :].astype(jnp.float32), m_spos[None, :])
+    )
+    meta = jnp.zeros((nchunks, 128), jnp.int32)
+    meta = meta.at[:, 0].set(n_steps).at[:, 1].set(n_qvalid)
+    bi, ex = call(
+        tile_order[:, None, :], sorted_min[:, None, :], meta[:, None, :],
+        tile_nvalid[None, :],
+        xq, xq_sq[:, None], q_pos[:, None],
+        q_valid.astype(jnp.int32)[:, None],
+        xm, xm_sq[None, :].astype(jnp.float32), m_spos[None, :])
     return bi, ex[0, 0]
