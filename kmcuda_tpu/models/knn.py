@@ -310,7 +310,7 @@ def _build_pruned_search(mesh, k_neighbors, n_clusters, metric, chunk,
         fn, mesh=mesh,
         in_specs=(P(AXIS, None), P(AXIS), P(AXIS), P(None, None),
                   P(None), P(None, None), P(None), P(None), P(None),
-                  P(None), P()),
+                  P(None), P(None, None), P()),
         out_specs=(P(AXIS, None), P(AXIS, None), P())))
 
 
@@ -466,6 +466,16 @@ def run(problem, centroids, assignments, k_neighbors: int):
                                     jnp.dtype(p.dtype).itemsize))
     if use_pallas:
         p.logger.debug("knn: fused Pallas walk engaged (kk=%d)" % kk)
+    # the walk's member array, feature-padded ONCE per run when f is not
+    # a lane multiple (ADVICE r3: walk() padding re-materialized the
+    # (M, f_pad) copy on every host batch dispatch); the XLA walk and the
+    # exact rescore keep using the unpadded xm
+    fpad = -(-p.features // config.LANE) * config.LANE
+    if use_pallas and fpad != p.features:
+        xm_walk = p.topo.put_replicated(jnp.pad(
+            plan.xm, ((0, 0), (0, fpad - p.features))))
+    else:
+        xm_walk = xm
     search = _build_pruned_search(
         p.topo.mesh, k_neighbors, p.k, p.metric, q_chunk, tile_m, group,
         k_batch, use_pallas, False)
@@ -473,7 +483,7 @@ def run(problem, centroids, assignments, k_neighbors: int):
     for b in range(n_full):
         nbp, dsb, ex = search(xq, xq_sq, q_assign, xm, m_spos_r,
                               c_rank, r_ext, inc_c, inc_t, tile_nvalid,
-                              jnp.int32(b * k_batch))
+                              xm_walk, jnp.int32(b * k_batch))
         parts.append((nbp, dsb))
         examined += float(ex)
         if n_full + (1 if rem else 0) > 1:
@@ -485,7 +495,7 @@ def run(problem, centroids, assignments, k_neighbors: int):
             group, rem, use_pallas, False)
         nbp, dsb, ex = search_r(xq, xq_sq, q_assign, xm, m_spos_r,
                                 c_rank, r_ext, inc_c, inc_t, tile_nvalid,
-                                jnp.int32(n_full * k_batch))
+                                xm_walk, jnp.int32(n_full * k_batch))
         parts.append((nbp, dsb))
         examined += float(ex)
 

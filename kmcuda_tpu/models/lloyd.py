@@ -99,6 +99,12 @@ class _SegmentDriver:
         self.stagnated = False
         # (mark, stale) resume state for ops.assign._stagnation_update
         self.stag = (int(np.iinfo(np.int32).max), 0)
+        # previous iteration's reassignment count, seeding the device
+        # loops' fused/compacted delta prediction (compact.predict_dense)
+        # across segment boundaries; int32 max = fresh start ("everything
+        # moves").  Round-tripping it keeps the delta accumulation stream
+        # — hence the bitwise trajectory — independent of segment length.
+        self.prev = int(np.iinfo(np.int32).max)
 
     def next_segment(self, seg=None):
         """Iterations to request next: the configured segment length (or
@@ -128,7 +134,11 @@ class _SegmentDriver:
             if extra is not None:
                 extra(i)
         self.done += it
-        self.last = log[-1] if log else 0
+        if log:
+            self.last = log[-1]
+            self.prev = self.last
+        else:
+            self.last = 0
         self.stag = (int(stag[0]), int(stag[1]))
         if not log or self.last <= self.tol or self.done >= self.cap:
             return False
@@ -175,7 +185,7 @@ def run_incremental(problem, centroids, assignments, tolerance,
         (c_used, c_next, assignments, _best, sums, counts, it, log,
          stag) = run_fn(
             p.x, p.x_sq, p.valid, assignments, centroids, sums, counts,
-            drv.limits(tol_count))
+            drv.limits(tol_count, drv.prev))
         it, log, stag = jax.device_get((it, log, stag))
         if not drv.absorb(it, log, stag):
             break

@@ -259,7 +259,7 @@ def run(problem, centroids, assignments, tolerance, groups,
         t0 = time.perf_counter()
         (c_used, c_next, assignments, _best, sums, counts, it, log,
          stag) = lloyd_fn(p.x, p.x_sq, p.valid, assignments, centroids,
-                          sums, counts, drv.limits(draft_tol))
+                          sums, counts, drv.limits(draft_tol, drv.prev))
         it, log, stag = jax.device_get((it, log, stag))
         if warm and it > 0:
             lloyd_spi = (time.perf_counter() - t0) / int(it)
@@ -291,7 +291,8 @@ def run(problem, centroids, assignments, tolerance, groups,
         while True:
             (c_used, c_next, assignments, _best, sums, counts, it, log,
              stag) = lloyd_fn(p.x, p.x_sq, p.valid, assignments, centroids,
-                              sums, counts, drv.limits(tol_count))
+                              sums, counts,
+                              drv.limits(tol_count, drv.prev))
             it, log, stag = jax.device_get((it, log, stag))
             if not drv.absorb(it, log, stag):
                 break
@@ -341,7 +342,7 @@ def run(problem, centroids, assignments, tolerance, groups,
          counts, stag) = run_fn(
             p.x, p.x_sq, p.valid, assignments, centroids, sums, counts,
             pad_src_d, pad_pen_d, flat_slot_d, u, l,
-            drv.limits(tol_count, resume, sparse_ok, seg=seg))
+            drv.limits(tol_count, resume, sparse_ok, drv.prev, seg=seg))
         it, log_ch, log_pa, log_ca, stag = jax.device_get(
             (it, log_ch, log_pa, log_ca, stag))
         wall = time.perf_counter() - t0

@@ -151,6 +151,55 @@ def _assign_update_pass(x, x_sq, valid, prev_assign, centroids, *,
     return (new_centroids, assign.reshape(nl), best.reshape(nl), changed)
 
 
+def _assign_delta_pass(x, valid, prev_assign, centroids, *, n_clusters,
+                       metric, chunk, axis_name=None):
+    """Fused assignment + incremental-delta scan: ONE streamed pass
+    computing the new assignments AND the (onehot_new − onehot_old)
+    centroid delta per chunk — the high-churn arm of the incremental
+    driver.  Before round 4 high-churn iterations paid the assignment
+    scan PLUS a separate dense delta pass (two streams of the data set
+    per iteration); fusing the delta into the same ``lax.scan`` body
+    makes the incremental driver cost one streamed pass at any churn.
+
+    The per-chunk delta arithmetic is ops.compact.chunk_delta applied to
+    the same chunks in the same natural order as compact.delta_dense, so
+    the accumulated (d_sums, d_counts) are bitwise identical to the
+    unfused form for the same assignment stream — fusing changes wall
+    time only, never the sums (the Lloyd==Yinyang parity foundation).
+
+    Returns (assign, best, d_sums, d_counts, changed_local) — deltas and
+    count are LOCAL; the caller psums across the mesh."""
+    from kmcuda_tpu.ops import compact as C
+
+    nl, f = x.shape
+    k = n_clusters
+    c_t, c_sq, penalty, orig_ids = pad_clusters(centroids, x.dtype)
+    c_ext = _rescore_table(centroids, f)
+    nchunks = nl // chunk
+    xs = x.reshape(nchunks, chunk, f)
+    vs = valid.reshape(nchunks, chunk)
+    pas = prev_assign.reshape(nchunks, chunk)
+
+    def body(carry, inp):
+        d_sums, d_counts, changed = carry
+        xb, vb, pab = inp
+        s = D.scores(xb, c_t, c_sq, penalty, metric)
+        best, aid, _d2 = D.argmin_rescored(s, orig_ids, k, xb, c_ext)
+        aid = jnp.where(vb, aid, jnp.uint32(k))
+        d_sums, d_counts = C.chunk_delta(
+            xb, aid, pab, d_sums, d_counts, dtype=x.dtype)
+        changed = changed + jnp.sum(aid != pab, dtype=jnp.int32)
+        return (d_sums, d_counts, changed), (aid, best)
+
+    init = _mark_varying(
+        (jnp.zeros((k, f), jnp.float32), jnp.zeros((k,), jnp.int32),
+         jnp.int32(0)), axis_name)
+    (d_sums, d_counts, changed), (assign, best) = lax.scan(
+        body, init, (xs, vs, pas))
+    return (assign.reshape(nl), best.reshape(nl), d_sums, d_counts,
+            changed)
+
+
 def assign_pass(x, valid, centroids, *, n_clusters, metric, chunk):
     """Assignment only (no centroid update): scan of fused score-matmul +
     argmin chunks.  Shared by the incremental Lloyd path and (with the same
@@ -202,11 +251,14 @@ def lloyd_run_incremental(x, x_sq, valid, prev_assign, centroids, sums,
 
     This is the faithful port of the reference's update strategy: assign,
     then add/subtract only the moved samples into the running centroid sums
-    (kmeans_adjust, kmeans.cu:367-429).  The moved set is compacted
-    (ops.compact) so late iterations cost one full assignment pass plus
-    work proportional to the reassignment count.  Yinyang continues from
-    the returned (sums, counts) with the same delta accumulation, which is
-    what makes Lloyd and Yinyang results bitwise identical.
+    (kmeans_adjust, kmeans.cu:367-429).  Each iteration picks its arm from
+    the PREVIOUS iteration's reassignment count (compact.predict_dense):
+    high churn runs the fused assignment+delta scan (one streamed pass,
+    _assign_delta_pass); low churn runs the assignment scan plus a
+    compacted delta walk proportional to the moved count.  Yinyang
+    continues from the returned (sums, counts) with the same delta
+    accumulation and the same prediction rule, which is what makes Lloyd
+    and Yinyang results bitwise identical.
 
     Pass sums=counts=0 and prev_assign=k-filled for a fresh start (the
     first iteration's delta then equals the full segment-sum).
@@ -221,12 +273,20 @@ def lloyd_run_incremental(x, x_sq, valid, prev_assign, centroids, sums,
     k = n_clusters
 
     centroids = centroids.astype(jnp.float32)
-    # limits: int32[5] = (tol_count, max_iterations, patience, mark0,
-    # stale0) packed in ONE array — each separate scalar argument costs a
-    # host->device transfer round trip per call, which dominates short
-    # runs over a slow link.  (mark0, stale0) are the stagnation counters
-    # carried over from the previous segment (int32 max / 0 fresh).
+    # limits: int32[6] = (tol_count, max_iterations, patience, mark0,
+    # stale0, prev_changed0) packed in ONE array — each separate scalar
+    # argument costs a host->device transfer round trip per call, which
+    # dominates short runs over a slow link.  (mark0, stale0) are the
+    # stagnation counters carried over from the previous segment
+    # (int32 max / 0 fresh); prev_changed0 seeds the fused/compacted
+    # prediction (int32 max fresh = "everything moves", else the previous
+    # segment's last count — so the accumulation stream is bitwise
+    # independent of the segment length).
     tol_count, max_iterations, patience = limits[0], limits[1], limits[2]
+    nl = x.shape[0]
+    n_total = jnp.int32(nl)
+    if axis_name is not None:
+        n_total = lax.psum(n_total, axis_name)
 
     def cond(carry):
         it, changed, (_bestch, stale) = carry[6], carry[7], carry[9]
@@ -234,15 +294,25 @@ def lloyd_run_incremental(x, x_sq, valid, prev_assign, centroids, sums,
                             & (stale < patience))
 
     def body(carry):
-        (_c_used, c_cur, assign, _best, sums, counts, it, _changed,
+        (_c_used, c_cur, assign, _best, sums, counts, it, prev_changed,
          log, (bestch, stale)) = carry
-        assign2, best2 = assign_pass(
-            x, valid, c_cur, n_clusters=k, metric=metric, chunk=chunk)
-        order, n_moved = C.stable_partition(assign2 != assign)
-        d_sums, d_counts = C.delta_sums(
-            x, assign2, assign, order, n_moved, n_clusters=k, chunk=chunk,
-            axis_name=axis_name)
-        changed2 = n_moved
+
+        def fused(assign):
+            return _assign_delta_pass(
+                x, valid, assign, c_cur, n_clusters=k, metric=metric,
+                chunk=chunk, axis_name=axis_name)
+
+        def split(assign):
+            assign2, best2 = assign_pass(
+                x, valid, c_cur, n_clusters=k, metric=metric, chunk=chunk)
+            order, n_moved = C.stable_partition(assign2 != assign)
+            d_sums, d_counts = C.delta_compacted(
+                x, assign2, assign, order, n_moved, n_clusters=k,
+                chunk=chunk, axis_name=axis_name)
+            return assign2, best2, d_sums, d_counts, n_moved
+
+        assign2, best2, d_sums, d_counts, changed2 = lax.cond(
+            C.predict_dense(prev_changed, n_total), fused, split, assign)
         if axis_name is not None:
             d_sums = lax.psum(d_sums, axis_name)
             d_counts = lax.psum(d_counts, axis_name)
@@ -260,7 +330,7 @@ def lloyd_run_incremental(x, x_sq, valid, prev_assign, centroids, sums,
     assign0, best0 = _mark_varying(
         (prev_assign, jnp.zeros((nl,), jnp.float32)), axis_name)
     init = (centroids, centroids, assign0, best0, sums, counts,
-            jnp.int32(0), jnp.int32(jnp.iinfo(jnp.int32).max),
+            jnp.int32(0), limits[5],
             jnp.zeros((LOG_CAPACITY,), jnp.int32),
             (limits[3], limits[4]))
     (c_used, c_next, assign, best, sums, counts, it, _changed,

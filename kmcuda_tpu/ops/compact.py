@@ -6,17 +6,27 @@ Two primitives shared by the Lloyd and Yinyang paths:
   warp-aggregated passed-list compaction (``atomicAggInc(&d_passed_number)``
   scatter, kmeans.cu:541-582): a cumsum-based stable partition permutation,
   fully deterministic and O(n).
-- :func:`delta_sums` — the reference's *incremental* centroid update
-  (``kmeans_adjust`` scans all samples but only adds/subtracts the moved
-  ones, kmeans.cu:367-429).  Here the moved samples are first compacted, so
-  each iteration pays one small gather + one small one-hot matmul
-  proportional to the number of reassignments; chunks past the moved count
-  are skipped at runtime with ``lax.cond``.
+- :func:`delta_compacted` / :func:`delta_dense` — the reference's
+  *incremental* centroid update (``kmeans_adjust`` scans all samples but
+  only adds/subtracts the moved ones, kmeans.cu:367-429).  At low churn the
+  moved samples are first compacted, so each iteration pays one small
+  gather + one small one-hot matmul proportional to the number of
+  reassignments; at high churn a dense natural-order pass over all rows is
+  cheaper than gathering most of them (zero-diff rows add exact zeros).
 
-Because both paths compact the *same* changed set in the same stable order
-and accumulate deltas with the same chunking, Lloyd and Yinyang produce
-bitwise-identical centroid sums — the foundation of the reference's
-"Yinyang and Lloyd give identical results" guarantee (README.md:74-75).
+The compacted/dense choice is made by the CALLER from the *previous*
+iteration's reassignment count (``prev_changed > DELTA_DENSE_FRACTION *
+n``) — a pure function of the trajectory, so the Lloyd and Yinyang
+drivers walking the same trajectory make the same choices and accumulate
+deltas in the same order.  That shared decision rule plus the shared
+per-chunk arithmetic (:func:`chunk_delta`) is what makes Lloyd and
+Yinyang centroid sums bitwise identical — the foundation of the
+reference's "Yinyang and Lloyd give identical results" guarantee
+(README.md:74-75).  (Predicting from the previous count rather than the
+current one lets the high-churn case fuse the delta into the assignment
+scan itself — ops.assign._assign_delta_pass — so no iteration ever pays
+a second full streamed pass; a wrong prediction after a churn regime
+shift costs one suboptimal branch choice, never a different result.)
 """
 
 import jax.numpy as jnp
@@ -25,11 +35,22 @@ from jax import lax
 from kmcuda_tpu.ops.assign import _mark_varying
 from kmcuda_tpu.ops.distance import mm_precision as _mm_precision
 
-#: above this fraction of locally-moved rows the delta is accumulated by a
-#: dense natural-order pass instead of gather chunks (same result: the
-#: decision is a deterministic function of the data, and zero-diff rows
-#: add exact zeros)
+#: above this fraction of previously-moved rows the delta is accumulated by
+#: a dense natural-order pass fused into the assignment scan instead of
+#: gather chunks (same result: the decision is a deterministic function of
+#: the trajectory, and zero-diff rows add exact zeros)
 DELTA_DENSE_FRACTION = 0.35
+
+
+def predict_dense(prev_changed, n_total):
+    """The shared compacted/dense decision rule: dense when the PREVIOUS
+    iteration's (mesh-global) reassignment count exceeded
+    ``DELTA_DENSE_FRACTION`` of all samples.  Fresh starts pass int32 max
+    (everything moves on iteration 0).  Every driver on the same
+    trajectory computes the same predictions, which keeps their delta
+    accumulation streams bitwise identical."""
+    return (prev_changed.astype(jnp.float32)
+            > DELTA_DENSE_FRACTION * jnp.float32(n_total))
 
 
 def stable_partition(mask):
@@ -62,83 +83,90 @@ def stable_partition_with_pos(mask):
     return order, pos, n_true
 
 
-def delta_sums(x, assign_new, assign_old, order, n_changed, *,
-               n_clusters: int, chunk: int, axis_name=None):
+def chunk_delta(xb, anew, aold, d_sums, d_counts, dtype=None):
+    """Accumulate one chunk's one-hot-diff centroid delta.
+
+    THE shared per-chunk arithmetic of every incremental update path
+    (compacted walk, dense pass, and the fused assignment+delta scan in
+    ops.assign) — identical inputs in identical order produce bitwise
+    identical sums, which is what the Lloyd==Yinyang parity rests on."""
+    k = d_counts.shape[0]
+    if dtype is None:
+        dtype = xb.dtype
+    cluster_ids = lax.broadcasted_iota(jnp.uint32, (1, k), 1)
+    oh_new = (anew[:, None] == cluster_ids)
+    oh_old = (aold[:, None] == cluster_ids)
+    d_oh = oh_new.astype(dtype) - oh_old.astype(dtype)
+    d_sums = d_sums + jnp.dot(
+        d_oh.T, xb, preferred_element_type=jnp.float32,
+        precision=_mm_precision(dtype))
+    d_counts = d_counts + (
+        jnp.sum(oh_new, axis=0, dtype=jnp.int32)
+        - jnp.sum(oh_old, axis=0, dtype=jnp.int32))
+    return d_sums, d_counts
+
+
+def delta_compacted(x, assign_new, assign_old, order, n_changed, *,
+                    n_clusters: int, chunk: int, axis_name=None):
     """Centroid-sum/count deltas from the reassigned samples only.
 
     ``order``/``n_changed`` come from ``stable_partition(assign_new !=
-    assign_old)``.  Below ``DELTA_DENSE_FRACTION`` of moved rows the moved
-    set is walked compacted (a while_loop of exactly
-    ceil(n_changed / chunk) gather chunks; rows past the boundary inside
-    the last chunk contribute exactly zero, new == old == k).  Above it, a
-    dense natural-order pass over all rows is cheaper than gathering most
-    of them.
+    assign_old)``.  The moved set is walked compacted: a while_loop of
+    exactly ceil(n_changed / chunk) gather chunks; rows past the boundary
+    inside the last chunk contribute exactly zero (new == old == k).
 
     Returns (d_sums (K, F) fp32, d_counts (K,) int32) — the *local* deltas;
     the caller psums across the mesh and adds to the running sums.
     """
     n, f = x.shape
     k = n_clusters
-    cluster_ids = lax.broadcasted_iota(jnp.uint32, (1, k), 1)
     offs = lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)[:, 0]
-
-    def chunk_delta(xb, anew, aold, d_sums, d_counts):
-        oh_new = (anew[:, None] == cluster_ids)
-        oh_old = (aold[:, None] == cluster_ids)
-        d_oh = oh_new.astype(x.dtype) - oh_old.astype(x.dtype)
-        d_sums = d_sums + jnp.dot(
-            d_oh.T, xb, preferred_element_type=jnp.float32,
-            precision=_mm_precision(x.dtype))
-        d_counts = d_counts + (
-            jnp.sum(oh_new, axis=0, dtype=jnp.int32)
-            - jnp.sum(oh_old, axis=0, dtype=jnp.int32))
-        return d_sums, d_counts
-
     zeros = (jnp.zeros((k, f), jnp.float32), jnp.zeros((k,), jnp.int32))
 
-    def compacted(order, n_changed):
-        # dynamic trip count: a lax.scan over all chunks pays ~20us of
-        # step scaffolding each even for skipped chunks; a while_loop runs
-        # exactly ceil(n_changed / chunk) iterations
-        n_active = (n_changed + chunk - 1) // chunk
+    # dynamic trip count: a lax.scan over all chunks pays ~20us of step
+    # scaffolding each even for skipped chunks; a while_loop runs exactly
+    # ceil(n_changed / chunk) iterations
+    n_active = (n_changed + chunk - 1) // chunk
 
-        def cond(carry):
-            return carry[0] < n_active
+    def cond(carry):
+        return carry[0] < n_active
 
-        def body(carry):
-            i, d_sums, d_counts = carry
-            base = i * chunk
-            idx = lax.dynamic_slice(order, (base,), (chunk,))
-            row_ok = (base + offs) < n_changed
-            anew = jnp.where(row_ok, assign_new[idx], jnp.uint32(k))
-            aold = jnp.where(row_ok, assign_old[idx], jnp.uint32(k))
-            d_sums, d_counts = chunk_delta(
-                x[idx], anew, aold, carry[1], carry[2])
-            return i + 1, d_sums, d_counts
+    def body(carry):
+        i, d_sums, d_counts = carry
+        base = i * chunk
+        idx = lax.dynamic_slice(order, (base,), (chunk,))
+        row_ok = (base + offs) < n_changed
+        anew = jnp.where(row_ok, assign_new[idx], jnp.uint32(k))
+        aold = jnp.where(row_ok, assign_old[idx], jnp.uint32(k))
+        d_sums, d_counts = chunk_delta(
+            x[idx], anew, aold, carry[1], carry[2], dtype=x.dtype)
+        return i + 1, d_sums, d_counts
 
-        init = _mark_varying((jnp.int32(0),) + zeros, axis_name)
-        _, d_sums, d_counts = lax.while_loop(cond, body, init)
-        return d_sums, d_counts
+    init = _mark_varying((jnp.int32(0),) + zeros, axis_name)
+    _, d_sums, d_counts = lax.while_loop(cond, body, init)
+    return d_sums, d_counts
 
-    def dense(order, n_changed):
-        # high churn: one natural-order pass over ALL rows beats gathering
-        # most of them (unchanged rows have a zero one-hot diff and add
-        # exact zeros).  The compacted/dense decision is a pure function
-        # of the local n_changed, so any two runs over the same data make
-        # the same choices and accumulate bitwise-identically.
-        def body(carry, inp):
-            xb, anew, aold = inp
-            return chunk_delta(xb, anew, aold, *carry), None
 
-        init = _mark_varying(zeros, axis_name)
-        nchunks = n // chunk
-        (d_sums, d_counts), _ = lax.scan(
-            body, init,
-            (x.reshape(nchunks, chunk, f),
-             assign_new.reshape(nchunks, chunk),
-             assign_old.reshape(nchunks, chunk)))
-        return d_sums, d_counts
+def delta_dense(x, assign_new, assign_old, *,
+                n_clusters: int, chunk: int, axis_name=None):
+    """High-churn delta: one natural-order pass over ALL rows beats
+    gathering most of them (unchanged rows have a zero one-hot diff and
+    add exact zeros).  Same contract as :func:`delta_compacted`; bitwise
+    identical to the fused assignment+delta scan's accumulation
+    (ops.assign._assign_delta_pass) for the same inputs."""
+    n, f = x.shape
+    k = n_clusters
+    zeros = (jnp.zeros((k, f), jnp.float32), jnp.zeros((k,), jnp.int32))
 
-    return lax.cond(
-        n_changed.astype(jnp.float32) > DELTA_DENSE_FRACTION * n,
-        dense, compacted, order, n_changed)
+    def body(carry, inp):
+        xb, anew, aold = inp
+        return chunk_delta(xb, anew, aold, *carry, dtype=x.dtype), None
+
+    init = _mark_varying(zeros, axis_name)
+    nchunks = n // chunk
+    (d_sums, d_counts), _ = lax.scan(
+        body, init,
+        (x.reshape(nchunks, chunk, f),
+         assign_new.reshape(nchunks, chunk),
+         assign_old.reshape(nchunks, chunk)))
+    return d_sums, d_counts

@@ -27,10 +27,14 @@ sentinel ordering — see ops/knn_prune.py); the caller runs the same
 exact rescore on the kk survivors, so the two paths return identical
 neighbors.
 
-Engagement bounds (:func:`supported`): kk <= 128 (the candidate buffer
-lives as one lane tile, so the extract loop is O(kk) not O(k)) and
-features within the VMEM budget.  Larger shapes use the XLA walk.
-Non-TPU backends run in interpreter mode (tests on the CPU mesh).
+Engagement bounds (:func:`supported`): kk <= 256 (the candidate buffer
+spans up to two lane tiles; the extract loop is O(kk) not O(k) and the
+per-tile stop_at early-out keeps typical merges to a few passes) and
+features <= 2048 — member tiles stream through a fixed-width VMEM slab
+with per-slab partial dot accumulation, so the buffer no longer scales
+with f (round 4; the reference supports features <= 2^16,
+README.md:116-118).  Larger shapes use the XLA walk.  Non-TPU backends
+run in interpreter mode (tests on the CPU mesh).
 """
 
 import functools
@@ -48,10 +52,14 @@ INF = np.float32(np.inf)
 NEG_INF = np.float32(-np.inf)
 BIGI = np.int32(2 ** 31 - 1)
 
-#: engagement bounds: one lane tile for the candidate buffer, and the
-#: (chunk, group*tile_m) block + member tile group must fit VMEM
-MAX_PALLAS_KK = 128
-MAX_PALLAS_F = 512
+#: engagement bounds: at most two lane tiles for the candidate buffer,
+#: and the (chunk, group*tile_m) block + member slab must fit VMEM
+MAX_PALLAS_KK = 256
+MAX_PALLAS_F = 2048
+#: member-slab feature width: tiles wider than this stream through the
+#: fixed (gm, slab) VMEM buffer in slab-sized chunks with partial dot
+#: accumulation, so xm_buf never scales past gm * slab
+MAX_PALLAS_F_SLAB = 512
 #: conservative live-set ceilings for the kernel's scalar and vector
 #: memory (TPU SMEM is O(100 KB); VMEM 64-128 MB depending on generation)
 MAX_SMEM_BYTES = 96 * 1024
@@ -63,18 +71,23 @@ def supported(kk: int, features: int, n_tiles: int, chunk: int,
     """True when the walk kernel's working set fits the chip.
 
     The tour arrays live in SMEM (scales with n_tiles — unbounded data
-    sets must fall back to the XLA walk), the member tile group, the
+    sets must fall back to the XLA walk), the member slab, the
     (chunk, group*tile_m) distance block and the candidate buffers in
-    VMEM."""
+    VMEM.  The estimates model what walk() actually allocates (ADVICE
+    r3): the feature and tour axes are padded to lane multiples, the
+    meta page adds 128 SMEM ints, and the member buffer is capped at the
+    slab width."""
     if kk > MAX_PALLAS_KK or features > MAX_PALLAS_F:
         return False
-    nte = n_tiles + group - 1
-    smem = (2 * nte + n_tiles + 8) * 4
+    f_pad = -(-features // 128) * 128
+    slab = min(f_pad, MAX_PALLAS_F_SLAB)
+    nte = -(-(n_tiles + group - 1) // 128) * 128
+    smem = (2 * nte + n_tiles + 128 + 8) * 4
     gm = group * tile_m
     kkp = -(-kk // 128) * 128
-    vmem = (gm * features * itemsize          # xm_buf
+    vmem = (gm * slab * itemsize              # xm_buf (slab-capped)
             + 2 * gm * 4                      # msq + mspos rows
-            + chunk * features * itemsize     # xq block
+            + chunk * f_pad * itemsize        # xq block
             + 2 * chunk * gm * 4              # prod + d live values
             + 8 * chunk * kkp * 4)            # bd/bi/z/inc buffers
     return smem <= MAX_SMEM_BYTES and vmem <= MAX_VMEM_BYTES
@@ -191,14 +204,13 @@ def _kernel(order_hbm, bound_hbm, meta_hbm, nval_ref,
 
         @pl.when(act)
         def _visit():
-            # ---- DMA the group's member tiles (rows are contiguous) --
+            f = xq_ref.shape[1]
+            slab = xm_buf.shape[1]
+
+            # ---- DMA the group's per-member metadata (once) ----------
             copies = []
             for g in range(group):
                 row0 = order_ref[0, r + g] * tile_m
-                copies.append(pltpu.make_async_copy(
-                    xm_hbm.at[pl.ds(row0, tile_m), :],
-                    xm_buf.at[pl.ds(g * tile_m, tile_m), :],
-                    sem.at[3 * g]))
                 copies.append(pltpu.make_async_copy(
                     msq_hbm.at[:, pl.ds(row0, tile_m)],
                     msq_buf.at[:, pl.ds(g * tile_m, tile_m)],
@@ -212,11 +224,38 @@ def _kernel(order_hbm, bound_hbm, meta_hbm, nval_ref,
             for c in copies:
                 c.wait()
 
+            # ---- member rows stream through the (gm, slab) buffer ----
+            # one slab for f <= MAX_PALLAS_F_SLAB (the pre-round-4 path,
+            # bit-identical); wider features accumulate per-slab partial
+            # dot products — the VMEM analog of the reference's
+            # feature-chunked partial/finalize accumulation
+            # (metric_abstraction.h:103-135, knn.cu:79-101).  Partial
+            # sums add in ascending feature order, so the accumulated
+            # prod equals the single-matmul contraction only up to fp32
+            # rounding — which the SLACK/eps_env margins already absorb
+            # (the XLA walk's matmul reassociates the same contraction).
+            prod = jnp.zeros((chunk, gm), jnp.float32)
+            for f0 in range(0, f, slab):
+                fc = min(slab, f - f0)
+                copies = []
+                for g in range(group):
+                    row0 = order_ref[0, r + g] * tile_m
+                    copies.append(pltpu.make_async_copy(
+                        xm_hbm.at[pl.ds(row0, tile_m), pl.ds(f0, fc)],
+                        xm_buf.at[pl.ds(g * tile_m, tile_m),
+                                  pl.ds(0, fc)],
+                        sem.at[3 * g]))
+                for c in copies:
+                    c.start()
+                for c in copies:
+                    c.wait()
+                prod = prod + lax.dot_general(
+                    xq_ref[:, f0:f0 + fc], xm_buf[:, :fc],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision)
+
             # ---- scores -> true distances, masks (all in VMEM) -------
-            prod = lax.dot_general(
-                xq_ref[:], xm_buf[:],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=precision)
             if metric == D.DistanceMetric.L2:
                 s = msq_buf[:] - 2.0 * prod                # (chunk, gm)
                 d = jnp.sqrt(jnp.maximum(s + xqsq_ref[:], 0.0))
@@ -304,12 +343,18 @@ def walk(xq, xq_sq, q_pos, q_valid, n_qvalid, n_steps, tile_order,
     # slice's lane dim must be whole (Mosaic pads f<128 to 128 lanes and
     # forbids the sub-lane slice — found on hardware, round 3): pad the
     # feature dim with zero lanes, which are inert for both metrics
-    # (norms arrive separately; zero lanes add nothing to the dot)
+    # (norms arrive separately; zero lanes add nothing to the dot).
+    # The replicated member array is normally PRE-padded once by the
+    # caller (models/knn.run — ADVICE r3: padding it here re-materialized
+    # an (M, f_pad) HBM copy on every host-level batch dispatch); the
+    # fallback pad below keeps direct callers (tests) working.
     f_pad = -(-f // 128) * 128
     if f_pad != f:
         xq = jnp.pad(xq, ((0, 0), (0, f_pad - f)))
-        xm = jnp.pad(xm, ((0, 0), (0, f_pad - f)))
         f = f_pad
+    if xm.shape[1] != f:
+        xm = jnp.pad(xm, ((0, 0), (0, f - xm.shape[1])))
+    slab = min(f, MAX_PALLAS_F_SLAB)
     # the per-chunk tour pages are DMA'd whole, and a DMA slice's lane
     # dim must be 128-aligned (Mosaic tiling): pad the tours with inert
     # entries (the filler tile, an unreachable bound) up to a multiple
@@ -369,7 +414,7 @@ def walk(xq, xq_sq, q_pos, q_valid, n_qvalid, n_steps, tile_order,
         ],
         scratch_shapes=[
             pltpu.VMEM((chunk, kkp), jnp.float32),       # bd (candidates)
-            pltpu.VMEM((gm, f), xq.dtype),               # xm_buf
+            pltpu.VMEM((gm, slab), xq.dtype),            # xm_buf
             pltpu.VMEM((1, gm), jnp.float32),            # msq_buf
             pltpu.VMEM((1, gm), jnp.int32),              # mspos_buf
             pltpu.VMEM((chunk, 2 * kkp), jnp.float32),   # zd (union)

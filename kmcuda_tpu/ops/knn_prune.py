@@ -186,7 +186,7 @@ def packed_layout(a_sorted, *, k, tile_m, n_tiles):
 
 
 def search(xq, xq_sq, q_assign, xm, m_spos, c_rank, r_ext,
-           inc_c, inc_t, tile_nvalid, chunk_base, *,
+           inc_c, inc_t, tile_nvalid, xm_walk, chunk_base, *,
            k_neighbors, n_clusters, metric, chunk, tile_m, group,
            n_batch_chunks, use_pallas=False, pallas_interpret=False,
            axis_name=None):
@@ -204,6 +204,10 @@ def search(xq, xq_sq, q_assign, xm, m_spos, c_rank, r_ext,
       rows never produce a visited tile).
     r_ext:  (k,) cluster radiuses, NaN (empty) -> 0.
     inc_c/inc_t/tile_nvalid: the :func:`packed_layout` plan.
+    xm_walk: the member array as fed to the fused Pallas walk — normally
+      ``xm`` itself, or a once-padded (M, f_pad) copy when f is not a
+      lane multiple (ADVICE r3: padding inside the walk re-materialized
+      the copy per host batch dispatch).  Ignored by the XLA walk.
     group: tiles processed per walk step.  One tile per step spends more
       time on loop dispatch than on the (tiny) tile matmul; grouping
       makes the matmul (chunk, group*tile_m) MXU-sized at the cost of
@@ -320,7 +324,7 @@ def search(xq, xq_sq, q_assign, xm, m_spos, c_rank, r_ext,
         n_steps = -(-count_lt // group)
         bi, count = KNP.walk(
             xq, xq_sq, q_pos, q_valid, n_qvalid_c, n_steps,
-            tile_order_all, sorted_min_all, tile_nvalid, xm, xm_sq,
+            tile_order_all, sorted_min_all, tile_nvalid, xm_walk, xm_sq,
             m_spos, k_neighbors=k_neighbors, kk=kk, chunk=chunk,
             tile_m=tile_m, group=group, metric=metric, eps_env=eps_env,
             interpret=pallas_interpret, axis_name=axis_name)

@@ -55,9 +55,11 @@ TPU-native design decisions:
   yy_init when almost everything passes, kmeans.cu:1117-1158): every passed
   sample gets exact bounds from the local filter, so a nearly-all-passed
   iteration IS the refresh.
-- Centroid updates are delta-updates over the compacted changed set
-  (ops.compact.delta_sums), exactly like the reference's incremental
-  kmeans_adjust — and bitwise identical to the incremental Lloyd path.
+- Centroid updates are delta-updates over the changed set
+  (ops.compact.delta_compacted / delta_dense, branch predicted from the
+  previous iteration's count by the same rule as the incremental Lloyd
+  driver), exactly like the reference's incremental kmeans_adjust — and
+  bitwise identical to the incremental Lloyd path.
 """
 
 import functools
@@ -109,13 +111,17 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
                resume: the previous segment's returned (u, l) +
                resume=1 — bitwise-exact continuation (the host driver
                bounds each device dispatch, models/lloyd._SegmentDriver).
-    limits:    int32[7] = (tol_count, max_iterations, patience, mark0,
-               stale0, resume, sparse_ok) packed in one array (single
-               transfer per segment call); (mark0, stale0) resume the
-               stagnation counters across segments (int32 max / 0
-               fresh); sparse_ok is the wall-clock controller's
+    limits:    int32[8] = (tol_count, max_iterations, patience, mark0,
+               stale0, resume, sparse_ok, prev_changed0) packed in one
+               array (single transfer per segment call); (mark0, stale0)
+               resume the stagnation counters across segments (int32 max
+               / 0 fresh); sparse_ok is the wall-clock controller's
                permission for the compacted branch (wall time only,
-               never results).
+               never results); prev_changed0 seeds the delta-update
+               fused/compacted prediction (compact.predict_dense) with
+               the previous segment's — or the Lloyd draft's — last
+               reassignment count, keeping the accumulation stream in
+               bitwise lockstep with the incremental Lloyd driver.
 
     Returns (centroids_used, assign, iterations, changed_log, passed_log,
     cand_log, u, l, sums, counts, stag) — ``stag`` is the int32[2]
@@ -185,7 +191,7 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
 
 
     def body(carry):
-        (c_cur, assign, u, l, sc, it, _changed, log_ch,
+        (c_cur, assign, u, l, sc, it, prev_changed, log_ch,
          log_pa, log_ca, (refresh_in, period, tskip_in, tperiod,
                           prev_cand, refreshed_prev, l_vac, bestch,
                           stale)) = carry
@@ -605,10 +611,26 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
                       period))
 
         # ---- phase 3: incremental centroid update from the moved set ----
-        morder, n_moved = C.stable_partition(assign2 != assign)
-        d_sums, d_counts = C.delta_sums(
-            x, assign2, assign, morder, n_moved, n_clusters=k, chunk=chunk,
-            axis_name=axis_name)
+        # fused/compacted prediction from the PREVIOUS iteration's count —
+        # the same rule, threshold and per-chunk arithmetic as the
+        # incremental Lloyd driver (ops.assign.lloyd_run_incremental), so
+        # both accumulate the shared delta stream bitwise identically
+        moved = assign2 != assign
+        n_moved = jnp.sum(moved, dtype=jnp.int32)
+
+        def d_dense():
+            return C.delta_dense(
+                x, assign2, assign, n_clusters=k, chunk=chunk,
+                axis_name=axis_name)
+
+        def d_sparse():
+            morder, nm = C.stable_partition(moved)
+            return C.delta_compacted(
+                x, assign2, assign, morder, nm, n_clusters=k, chunk=chunk,
+                axis_name=axis_name)
+
+        d_sums, d_counts = lax.cond(
+            C.predict_dense(prev_changed, n_all), d_dense, d_sparse)
         changed2 = n_moved
         if axis_name is not None:
             d_sums = lax.psum(d_sums, axis_name)
@@ -645,7 +667,7 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
     assign0, u0, l0 = _mark_varying(
         (assign0, u0, l0.astype(bounds_dtype)), axis_name)
     init = (centroids0, assign0, u0, l0, (sums0, counts0),
-            jnp.int32(0), jnp.int32(jnp.iinfo(jnp.int32).max),
+            jnp.int32(0), limits[7],
             jnp.zeros((LOG_CAPACITY,), jnp.int32),
             jnp.zeros((LOG_CAPACITY,), jnp.int32),
             jnp.zeros((LOG_CAPACITY,), jnp.int32),

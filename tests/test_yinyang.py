@@ -110,6 +110,30 @@ def test_yinyang_iteration_golden(samples, capsys):
     assert draft == 2 and len(counts) - draft - 1 == 15
 
 
+#: Seed-locked iteration trajectory for bf16-storage (fp16 input)
+#: kmeans++/Yinyang — the analog of the reference's fp16 Yinyang "16+7"
+#: golden (test.py:525-534).  Pinned from the first CPU-8 run (self
+#: -referential, like every golden here): guards the bf16 assignment
+#: matmul path, the draft handoff and the delta stream under reduced
+#: precision.
+YY_BF16_GOLDEN_COUNTS = [13000, 1761, 1041, 821, 702, 578, 490, 454, 394,
+                         330, 302, 282, 271, 235, 257, 267, 254, 209, 175,
+                         167, 169, 155, 158, 140, 144, 142, 152, 129]
+
+
+def test_yinyang_bf16_iteration_golden(samples, capsys):
+    import os
+
+    if os.environ.get("KMTPU_TEST_TPU") == "1":
+        pytest.skip("golden pinned for the CPU-8 mesh")
+    kmeans_tpu(samples.astype(np.float16), 50, init="kmeans++", seed=3,
+               tolerance=0.01, yinyang_t=0.1, verbosity=1)
+    out = capsys.readouterr().out
+    counts = [int(l.split(": ")[1].split()[0]) for l in out.splitlines()
+              if l.startswith("iteration")]
+    assert counts == YY_BF16_GOLDEN_COUNTS
+
+
 def test_yinyang_multi_device(samples):
     centroids, assignments = kmeans_tpu(
         samples, 50, init="kmeans++", device=0, seed=3, tolerance=0.01,

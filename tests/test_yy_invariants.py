@@ -94,8 +94,11 @@ def test_bound_invariants(tight):
                p.topo.put_sharded(jnp.zeros((p.n_pad,), jnp.float32)),
                p.topo.put_sharded(
                    jnp.zeros((p.n_pad, groups), jnp.float32)),
-               jnp.asarray([-1, 6, 50, np.iinfo(np.int32).max, 0, 0, 1],
-                           jnp.int32))
+               # (tol, seg, patience, mark, stale, resume, sparse_ok,
+               # prev_changed): prev_changed = int32 max ("everything
+               # moved") is a valid fresh seed for the delta prediction
+               jnp.asarray([-1, 6, 50, np.iinfo(np.int32).max, 0, 0, 1,
+                            np.iinfo(np.int32).max], jnp.int32))
     (c_fin, assign, _it2, _lch, _lpa, _lca, u_fin, l_fin, _sums,
      _counts, _stag) = out
     c_fin = np.asarray(c_fin).astype(np.float64)
