@@ -114,17 +114,20 @@ def bench_100k(jax, jnp, kmeans_tpu, extra):
                           tolerance=0.002, yinyang_t=yy,
                           max_iterations=iters, verbosity=0)
 
-    run(0)  # warmup compile
-    start = time.perf_counter()
-    _c, a = run(0)
-    jax.block_until_ready(a)
-    lloyd_s = time.perf_counter() - start
+    def timed(yy):
+        start = time.perf_counter()
+        _c, a = run(yy)
+        jax.block_until_ready(a)
+        return time.perf_counter() - start
 
+    run(0)  # warmup compile
     run(0.1)
-    start = time.perf_counter()
-    _c, a = run(0.1)
-    jax.block_until_ready(a)
-    yy_s = time.perf_counter() - start
+    # min over alternating trials: the remote-tunnel dispatch jitter is
+    # ~10% between back-to-back identical runs, far above the real
+    # lloyd-vs-yinyang delta; the per-config minimum is the standard
+    # noise-floor estimator
+    lloyd_s = min(timed(0) for _ in range(3))
+    yy_s = min(timed(0.1) for _ in range(3))
 
     _emit({"metric": "kmeans_yinyang_100kx256_k1024_15iter_wall",
            "value": round(yy_s, 4), "unit": "s",
