@@ -177,7 +177,7 @@ USE_PALLAS_ASSIGN = "auto"
 #: gather/scatter cost (~5-10x a streamed row on TPU) matches the dense
 #: pass's full matmul: measured near 15-20%% candidates at f=64..256,
 #: k=1024 on v5e.
-YY_DENSE_FRACTION = 0.2
+YY_DENSE_FRACTION = 0.35
 
 #: Dense-path bounds-refresh backoff cap: while consecutive refreshes fail
 #: to engage the global filter (the next iteration is dense again), the
@@ -194,6 +194,16 @@ YY_DENSE_FRACTION = 0.2
 #: upside arrives up to this many iterations late.
 YY_REFRESH_BACKOFF_MAX = 64
 
+#: Sparse-path lower-bound refresh trigger: refresh (panel matmul for
+#: every passed row, ~1.2x the assignment matmul) once the candidate
+#: count exceeds this multiple of its level right after the previous
+#: refresh.  Stale bounds admit extra candidates at one assignment-width
+#: local-filter row each, so the growth factor trades refresh cost
+#: against admitted-extra cost; ~2 balances them at the measured 1.2x
+#: panel/assign cost ratio.  Wall time only, never results (the patch
+#: walk keeps skipped-refresh iterations' bound semantics sound).
+YY_SPARSE_REFRESH_GROWTH = 2.0
+
 #: A sparse-path tighten row (rowwise exact own-centroid distance) costs
 #: about a third of a local-filter row (full score + panel matmuls), so
 #: the tighten phase pays only when it prunes at least this fraction of
@@ -205,8 +215,13 @@ YY_TIGHTEN_MIN_PRUNE = 0.33
 #: Above this many bytes of (n, G) fp32 lower bounds, Yinyang stores them
 #: in bfloat16 (rounded down, so the filter stays sound — see
 #: ops.yinyang.lower_cast).  Halving the dominant state array is what lets
-#: near-HBM-sized data sets run Yinyang on a single chip.
-YY_BOUNDS_F32_MAX_BYTES = 1 << 26
+#: near-HBM-sized data sets run Yinyang on a single chip.  2 GB: a v5e
+#: chip has 16 GB HBM, and the bf16 haircut (one 2^-8 relative round-down
+#: per store) measurably loosens the global filter — on the contested
+#: deep-tail fixture it inflates the permanent candidate set — so fp32 is
+#: worth its memory whenever the array is not a material fraction of HBM
+#: (round 4; was 64 MB).
+YY_BOUNDS_F32_MAX_BYTES = 1 << 31
 
 #: Yinyang filter triage knob (0 = normal; 1 = treat every sample as a
 #: global-filter candidate; 2 = also skip the tightened re-test).  Only for

@@ -46,11 +46,11 @@ def _build_yy_run(mesh, n_clusters, groups, group_cap, metric, chunk,
         fn, mesh=mesh,
         in_specs=(P(AXIS, None), P(AXIS), P(AXIS), P(AXIS), P(None, None),
                   P(None, None), P(None), P(None, None), P(None, None),
-                  P(None), P(AXIS), P(AXIS, None), P(None)),
+                  P(None), P(AXIS), P(AXIS, None), P(AXIS), P(None)),
         out_specs=(P(None, None), P(AXIS), P(), P(), P(), P(),
-                   P(AXIS), P(AXIS, None), P(None, None), P(None),
-                   P(None)))
-    return jax.jit(mapped, donate_argnums=(3, 10, 11))
+                   P(AXIS), P(AXIS, None), P(AXIS), P(None, None),
+                   P(None), P(None)))
+    return jax.jit(mapped, donate_argnums=(3, 10, 11, 12))
 
 
 @functools.partial(jax.jit, static_argnames=("groups", "metric", "chunk"))
@@ -325,12 +325,26 @@ def run(problem, centroids, assignments, tolerance, groups,
     flat_slot_d = p.topo.put_replicated(jnp.asarray(flat_slot))
     u = p.topo.put_sharded(jnp.zeros((p.n_pad,), jnp.float32))
     l = p.topo.put_sharded(jnp.zeros((p.n_pad, groups), bounds_dtype))
+    lminA = p.topo.put_sharded(jnp.zeros((p.n_pad,), jnp.float32))
 
     # ---- phase 3: the segmented main loop under the controller ----------
     # (bounded dispatches, live progress, exact (u, l, sums, counts,
     # centroids) carryover between segments)
     resume = 0
     sparse_ok = 1
+    floor_probe = ctl and lloyd_spi is None
+    if floor_probe:
+        # no Lloyd floor measured: the draft collapsed into a single
+        # (compile-contaminated) segment — typical when resuming near a
+        # converged state (init=import).  The never-lose contract needs
+        # a floor before the sparse branch may run unsupervised, so the
+        # first measured probe segment is forced DENSE (its plain
+        # iterations cost exactly one Lloyd pass each, and they are
+        # full-value Yinyang iterations — nothing is wasted); the
+        # controller then grants sparse with the floor in hand.
+        # Wall-time only, results identical under any schedule
+        # (test-locked).
+        sparse_ok = 0
     seg = config.YY_PROBE_ITERS if ctl else None   # None = full segments
     yy_warm = False         # first call may pay the yy_run compile
     reprobe_after = config.YY_REPROBE_ITERS
@@ -338,10 +352,10 @@ def run(problem, centroids, assignments, tolerance, groups,
     dense_frac = float(config.YY_DENSE_FRACTION) * p.n_pad
     while True:
         t0 = time.perf_counter()
-        (c_fin, assignments, it, log_ch, log_pa, log_ca, u, l, sums,
-         counts, stag) = run_fn(
+        (c_fin, assignments, it, log_ch, log_pa, log_ca, u, l, lminA,
+         sums, counts, stag) = run_fn(
             p.x, p.x_sq, p.valid, assignments, centroids, sums, counts,
-            pad_src_d, pad_pen_d, flat_slot_d, u, l,
+            pad_src_d, pad_pen_d, flat_slot_d, u, l, lminA,
             drv.limits(tol_count, resume, sparse_ok, drv.prev, seg=seg))
         it, log_ch, log_pa, log_ca, stag = jax.device_get(
             (it, log_ch, log_pa, log_ca, stag))
@@ -368,6 +382,14 @@ def run(problem, centroids, assignments, tolerance, groups,
                        config.LOOP_SEGMENT_ITERATIONS)
             if not yy_warm:
                 seg = config.YY_PROBE_ITERS   # judge from the warm call on
+            elif floor_probe:
+                # forced-dense floor measurement done: record it and
+                # grant the sparse branch its normal probation probe
+                if frac_sparse <= 0.25:
+                    lloyd_spi = spi
+                floor_probe = False
+                sparse_ok = 1
+                seg = config.YY_PROBE_ITERS
             elif sparse_ok and frac_sparse >= 0.5:
                 # sparse-heavy segment on probation: judge vs the floor
                 if (lloyd_spi is not None

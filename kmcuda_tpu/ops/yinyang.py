@@ -95,7 +95,7 @@ def exact_drift(c_new, c_old, metric):
     static_argnames=("n_clusters", "groups", "group_cap", "metric", "chunk",
                      "axis_name", "debug_mode", "bounds_dtype"))
 def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
-           pad_src, pad_pen, flat_slot, u0, l0, limits, *,
+           pad_src, pad_pen, flat_slot, u0, l0, lminA0, limits, *,
            n_clusters: int, groups: int, group_cap: int,
            metric: D.DistanceMetric, chunk: int, axis_name=None,
            debug_mode: int = 0, bounds_dtype=jnp.float32):
@@ -111,6 +111,14 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
                resume: the previous segment's returned (u, l) +
                resume=1 — bitwise-exact continuation (the host driver
                bounds each device dispatch, models/lloyd._SegmentDriver).
+    lminA0:    (n,) fp32 — per-sample cached min-over-groups lower bound,
+               the LEVEL-0 filter state (round 4): the per-iteration
+               global filter is a pure elementwise pass over
+               (u, lminA, valid) with scalar max-drift erosion — no
+               (n, G) traffic, no per-centroid drift lookup — and the
+               stored (n, G) bounds are only read for the rows it
+               admits.  Fresh start: zeros (vacuous); resume: the
+               previous segment's returned value.
     limits:    int32[8] = (tol_count, max_iterations, patience, mark0,
                stale0, resume, sparse_ok, prev_changed0) packed in one
                array (single transfer per segment call); (mark0, stale0)
@@ -124,7 +132,7 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
                bitwise lockstep with the incremental Lloyd driver.
 
     Returns (centroids_used, assign, iterations, changed_log, passed_log,
-    cand_log, u, l, sums, counts, stag) — ``stag`` is the int32[2]
+    cand_log, u, l, lminA, sums, counts, stag) — ``stag`` is the int32[2]
     (mark, stale) stagnation state to feed the next segment.
     """
     tol_count, max_iterations = limits[0], limits[1]
@@ -184,16 +192,15 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
         return (v - jnp.abs(v) * jnp.float32(2.0 ** -8)).astype(bounds_dtype)
 
     def cond(carry):
-        it, changed = carry[5], carry[6]
-        _bestch, stale = carry[10][7], carry[10][8]
+        it, changed = carry[6], carry[7]
+        _bestch, stale = carry[11][8], carry[11][9]
         return (it == 0) | ((changed > tol_count) & (it < max_iterations)
                             & (stale < patience))
 
-
     def body(carry):
-        (c_cur, assign, u, l, sc, it, prev_changed, log_ch,
+        (c_cur, assign, u, l, lminA, sc, it, prev_changed, log_ch,
          log_pa, log_ca, (refresh_in, period, tskip_in, tperiod,
-                          prev_cand, refreshed_prev, l_vac, bestch,
+                          cand_mark, ref_any_prev, accC, accMG, bestch,
                           stale)) = carry
         sums, counts = sc
         first = (it == 0) & jnp.logical_not(resume)
@@ -202,8 +209,13 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
         drift = exact_drift(c_new, c_cur, metric)
         gdrift = jnp.max(
             jnp.where(pad_pen > 0, 0.0, drift[pad_src]), axis=1)
-        drift_ext = jnp.concatenate(
-            [drift, jnp.zeros((1,), jnp.float32)])
+        # drift accumulators for the absolute-coordinate bounds: C2[g]
+        # accumulates (at least) each group's max drift since the segment
+        # started, MG2 the global max — both rounded UP so the read-side
+        # subtractions (l - C2, lminA - MG2) can only under-estimate,
+        # never overshoot, the true drifted bounds
+        C2 = (accC + gdrift) * (1.0 + 2.0 ** -20)
+        MG2 = (accMG + jnp.max(gdrift)) * (1.0 + 2.0 ** -20)
         # lookup tables for one-hot matmuls MUST be NaN-free: the zero
         # entries of a one-hot row multiply every table row, and
         # 0 * NaN = NaN would poison the whole product (dead centroids
@@ -241,72 +253,49 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
             pad_panel = (-c_pad_rows).astype(x.dtype).T
             pad_bias = pad_pen_flat
 
-        # ---- phase 1: drift the bounds, global filter ------------------
-        # exact per-centroid drift for u (as tight as the reference's
-        # filter), looked up through a bf16 one-hot matvec on the MXU;
-        # the drift table is rounded *up* into bf16 so the lookup stays a
-        # valid upper bound
-        drift_safe = (drift_ext * (1.0 + 2.0 ** -7)).astype(jnp.bfloat16)
+        # ---- phase 1: the LEVEL-0 global filter (round 4) ---------------
+        # A pure-elementwise pass over three (n,) arrays — no one-hot
+        # drift matvec, no (n, G) touch.  u erodes by the SCALAR max
+        # centroid drift (a Hamerly-style level-0 bound: looser than the
+        # per-centroid lookup, but the level-1 re-test below restores
+        # exactness for anything it admits), and the cached per-row lower
+        # bound lminA lives in MG-absolute coordinates (current value =
+        # lminA - MG2), so maintaining it costs nothing per iteration.
+        # The old per-iteration drift pass streamed and REWROTE the whole
+        # (n, G) l array plus an O(n*k) one-hot matvec — measured ~5 ms
+        # of a 31 ms Lloyd-pass budget at 1M x 256 @ 1024 on v5e; this
+        # pass is ~0.3 ms.  The l array itself is likewise stored in
+        # C-absolute coordinates (current value = l - C2 per group) and
+        # is only ever READ for level-1 candidates and WRITTEN on
+        # refresh, never drift-updated in place.
+        maxd = jnp.max(drift) * (1.0 + 2.0 ** -20)
 
-        def drift_bounds(vb, ab, ub, lb):
-            oh = (ab[:, None] == iota_k1).astype(jnp.bfloat16)
-            # (1 +- 1e-7) factors absorb the addition rounding so u stays
-            # an upper and l a lower bound across many accumulations
-            u2 = (ub + jnp.dot(oh, drift_safe,
-                               preferred_element_type=jnp.float32)
-                  ) * (1.0 + 1e-7)
-            l2f = (lb.astype(jnp.float32) - gdrift[None, :]) * (1.0 - 1e-7)
-            lmin = jnp.min(l2f, axis=1)
-            # '>=', not '>': a knife-edge tie must reach the local filter
-            # so its score-space argmin matches Lloyd's exactly
-            cand = vb & (first | (u2 >= lmin))
-            if debug_mode == 1:   # soundness triage: distrust the drift test
-                cand = vb
-            return u2, l2f, lmin, cand
-
-        # Each branch runs its own streaming drift pass, materializing
-        # exactly what it needs (sparse: everything; dense-preserve: l2
-        # only; dense otherwise: just the candidate count).  Keeping the
-        # big arrays branch-local lets XLA alias the (n, G) carry buffers
-        # through the iteration — shared cross-branch captures were
-        # measured to insert ~l-sized defensive copies — and caps the live
-        # (n, G) arrays at two (the fit-limit for near-HBM data sets).
-        bounds_stream = (vc, assign.reshape(ncheap, cheap_chunk),
-                         u.reshape(ncheap, cheap_chunk),
-                         l.reshape(ncheap, cheap_chunk, g))
-
-        def scan_count():
+        def level0():
             def cbody(acc, inp):
-                _u2, _l2f, _lmin, cand = drift_bounds(*inp)
-                return acc + jnp.sum(cand, dtype=jnp.int32), None
+                vb, ub, lab = inp
+                # (1 + 1e-7) absorbs the addition rounding so u stays an
+                # upper bound across many accumulations; the read-side
+                # margin keeps (lminA - MG2) a true lower bound under
+                # fp32 subtraction of two accumulated quantities
+                u2 = (ub + maxd) * (1.0 + 1e-7)
+                r = (lab - MG2) - 2.4e-7 * (jnp.abs(lab) + MG2)
+                # '>=', not '>': a knife-edge tie must reach the local
+                # filter so its argmin matches Lloyd's exactly
+                cand = vb & (first | (u2 >= r))
+                if debug_mode == 1:   # triage: distrust the level-0 test
+                    cand = vb
+                return acc + jnp.sum(cand, dtype=jnp.int32), (u2, cand)
 
-            n_cand, _ = lax.scan(
+            n_cand, (u2, cand) = lax.scan(
                 cbody, _mark_varying(jnp.int32(0), axis_name),
-                bounds_stream)
-            return n_cand
+                (vc, u.reshape(ncheap, cheap_chunk),
+                 lminA.reshape(ncheap, cheap_chunk)))
+            return n_cand, u2.reshape(nl), cand.reshape(nl)
 
-        def scan_l2():
-            def cbody(acc, inp):
-                _u2, l2f, _lmin, cand = drift_bounds(*inp)
-                return (acc + jnp.sum(cand, dtype=jnp.int32),
-                        lower_cast(l2f))
-
-            n_cand, l2 = lax.scan(
-                cbody, _mark_varying(jnp.int32(0), axis_name),
-                bounds_stream)
-            return n_cand, l2.reshape(nl, g)
-
-        def scan_full():
-            def cbody(acc, inp):
-                u2, l2f, lmin, cand = drift_bounds(*inp)
-                return (acc + jnp.sum(cand, dtype=jnp.int32),
-                        (u2, lower_cast(l2f), lmin, cand))
-
-            n_cand, (u2, l2, lmin_all, cand) = lax.scan(
-                cbody, _mark_varying(jnp.int32(0), axis_name),
-                bounds_stream)
-            return (n_cand, u2.reshape(nl), l2.reshape(nl, g),
-                    lmin_all.reshape(nl), cand.reshape(nl))
+        n_cand, u2, cand = level0()
+        n_cand_all = n_cand
+        if axis_name is not None:
+            n_cand_all = lax.psum(n_cand_all, axis_name)
 
         def exact_assign_bounds(xb, xsqb, with_l=True):
             """Exact assignment + fresh (u, l) bounds for one sample block
@@ -327,9 +316,13 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
 
             ``with_l=False`` skips the group-minima panel matmul and
             returns vacuous zero lower bounds (sound: l only ever
-            *under*-estimates competitor distances).  The adaptive dense
-            path uses it to drop to plain-Lloyd cost on filter-hostile
-            data."""
+            *under*-estimates competitor distances).  The adaptive paths
+            use it to drop to plain-Lloyd cost on filter-hostile data.
+
+            Returns (aid, u_new, l_new) with l_new in PLAIN fp32 drift
+            -current coordinates; callers store
+            ``lower_cast(l_new + C2)`` / ``min_g l_new + MG2`` to convert
+            into the absolute coordinates the arrays carry."""
             s = D.scores(xb, c_t, c_sq_pad, penalty, metric)
             # exact top-2 rescore: the argmin is bitwise batch-layout
             # independent, which is what lets the compacted (gathered)
@@ -350,7 +343,7 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
                     jnp.clip(jnp.sqrt(d2m) * 0.5, 0.0, 1.0))
             if not with_l:
                 return aid, u_new, _mark_varying(
-                    jnp.zeros((xb.shape[0], g), bounds_dtype), axis_name)
+                    jnp.zeros((xb.shape[0], g), jnp.float32), axis_name)
             # group minima from the padded-panel matmul (same dot
             # products up to matmul rounding; the stored lower bound gets
             # a downward margin below so an ulp can never inflate it).
@@ -379,48 +372,65 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
             # differently than the natural-layout one the assignments
             # (and u) come from; a lower bound must never exceed truth
             l_new = l_new - eps * (1.0 + l_new)
-            return aid, u_new, lower_cast(l_new)
+            return aid, u_new, l_new
 
-        def sparse_iter(assign, u, l, flags):
-            """Compacted path: tighten u over the candidates, then run the
-            local filter only over the samples that still pass.  Gathers /
-            scatters cost O(candidates), worth it only when the global
-            filter actually filters.
+        def sparse_iter(assign, u2, l, lminA, flags):
+            """Compacted path: evaluate the stored level-1 group bounds
+            (+ exact own-centroid tighten) over the level-0
+            pre-candidates, then run the local filter only over the
+            samples that still pass.  Gathers / scatters cost
+            O(candidates), worth it only when the filters actually
+            filter.
 
-            The tighten phase itself is adaptive (``flags[2]``,
-            ``do_tighten``): a tighten
-            row costs ~1/3 of a local-filter row, so it pays only when it
-            prunes more than ~1/3 of the candidates.  When skipped, every
-            candidate goes straight to the local filter and gets exact
-            bounds — results are identical by construction, only the work
-            distribution changes (backoff schedule at the dense/sparse
-            decision site)."""
-            do_tighten = flags[2]
-            n_cand, u2, l2, lmin_all, cand = scan_full()
+            The level-1 phase is adaptive (``flags[1]``, ``do_tighten``):
+            its row costs ~1/3 of a local-filter row (gathers +
+            elementwise, no k-matmul), so it pays only when it prunes
+            more than ~1/3 of the pre-candidates.  When skipped, every
+            pre-candidate goes straight to the local filter — results
+            are identical by construction, only the work distribution
+            changes (backoff schedule at the decision site).
 
-            # ---- phase 2a: tighten u over the compacted candidates ------
-            # (the reference's global-filter tightening, kmeans.cu:541-582):
-            # per-candidate F work only, no k-matmul.  Results are written
-            # straight back to row positions with per-chunk scatters (cost
-            # proportional to the candidate count) — full-size
-            # dynamic-index gathers/scatters run ~20x below HBM speed on
-            # TPU, so nothing O(n) goes through them.
-            order, n_cand = C.stable_partition(cand)
+            The lower-bound refresh (``flags[2]``, ``l_refresh``) is on
+            the growth-triggered schedule (round 4): the panel matmul
+            that recomputes a passed row's G lower bounds costs ~1.2x
+            the assignment matmul itself, and on filter-hostile rows
+            (boundary/background samples that stay candidates forever)
+            refreshing every iteration buys nothing.  When skipped,
+            passed rows keep their stored l (absolute coordinates stay
+            sound forever; only u and the assignment are rewritten) and
+            the local filter costs one assignment-width matmul per
+            passed row.  Results are bitwise identical either way
+            (bounds never feed the argmin); the schedule only moves wall
+            time."""
+            do_tighten, l_refresh = flags[1], flags[2]
+
+            # ---- phase 2a: LEVEL-1 over the compacted pre-candidates ----
+            # (the reference's global filter + tightening,
+            # kmeans.cu:541-582): gather the row's stored group bounds,
+            # convert from C-absolute coordinates, take the exact
+            # own-centroid distance, re-test.  Results are written back
+            # with per-chunk scatters (cost proportional to the candidate
+            # count) — full-size dynamic-index gathers/scatters run ~20x
+            # below HBM speed on TPU, so nothing O(n) goes through them.
+            order, n_c = C.stable_partition(cand)
             order = pad_order(order)
-            n_active = (n_cand + schunk - 1) // schunk
+            n_active = (n_c + schunk - 1) // schunk
 
             def tcond(carry):
                 return carry[0] < n_active
 
             def tbody(carry):
-                i, u3_full, passed_full = carry
+                i, u3_full, lminA_full, passed_full = carry
                 base = i * schunk
                 idx = lax.dynamic_slice(order, (base,), (schunk,))
-                row_ok = (base + offs) < n_cand
+                row_ok = (base + offs) < n_c
                 xb = x[idx]
                 xsqb = x_sq[idx]
                 ab = jnp.where(row_ok, assign[idx], jnp.uint32(k))
-                lminb = lmin_all[idx]
+                la = l[idx].astype(jnp.float32)
+                l_now = ((la - C2[None, :])
+                         - 2.4e-7 * (jnp.abs(la) + C2[None, :]))
+                lminb = jnp.min(l_now, axis=1)
                 oh1 = (ab[:, None] == iota_k1)
                 cb = jnp.dot(oh1.astype(x.dtype), c_new_ext.astype(x.dtype),
                              preferred_element_type=jnp.float32,
@@ -439,26 +449,31 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
                                   config.PAD_PENALTY)
                 u_ex = D.finalize_distance(score, xsqb, metric)
                 passed_b = row_ok & (u_ex >= lminb)
-                if debug_mode == 2:  # soundness triage: distrust the tighten
+                if debug_mode == 2:  # soundness triage: distrust level-1
                     passed_b = row_ok
                 idx_ok = jnp.where(row_ok, idx, nl)
                 return (i + 1,
                         u3_full.at[idx_ok].set(u_ex, mode="drop"),
+                        lminA_full.at[idx_ok].set(lminb + MG2,
+                                                  mode="drop"),
                         passed_full.at[idx_ok].set(passed_b, mode="drop"))
 
             def with_tighten():
                 tinit = _mark_varying(
-                    (jnp.int32(0), u2, jnp.zeros((nl,), bool)), axis_name)
-                _i, u3, passed = lax.while_loop(tcond, tbody, tinit)
+                    (jnp.int32(0), u2, lminA, jnp.zeros((nl,), bool)),
+                    axis_name)
+                _i, u3, lminA2, passed = lax.while_loop(
+                    tcond, tbody, tinit)
                 order2, n_passed = C.stable_partition(passed)
-                return u3, pad_order(order2), n_passed
+                return u3, lminA2, pad_order(order2), n_passed
 
             def without_tighten():
-                # every candidate goes to the local filter; the candidate
-                # partition is reused (one sort saved)
-                return u2, order, n_cand
+                # every pre-candidate goes to the local filter; the
+                # level-0 partition is reused (one sort + one gather walk
+                # saved — pays when level-1 barely prunes)
+                return u2, lminA, order, n_c
 
-            u3, order2, n_passed = lax.cond(
+            u3, lminA2, order2, n_passed = lax.cond(
                 do_tighten, with_tighten, without_tighten)
             passed_n = n_passed
 
@@ -471,8 +486,8 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
             def lcond(carry):
                 return carry[0] < n_active2
 
-            def lbody(carry):
-                (i, assign_full, u_full, l_full) = carry
+            def lbody_refresh(carry):
+                (i, assign_full, u_full, l_full, lminA_full) = carry
                 base = i * schunk
                 idx = lax.dynamic_slice(order2, (base,), (schunk,))
                 row_ok = (base + offs) < n_passed
@@ -481,142 +496,209 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
                 return (i + 1,
                         assign_full.at[idx_ok].set(aid, mode="drop"),
                         u_full.at[idx_ok].set(u_new, mode="drop"),
-                        l_full.at[idx_ok].set(l_new, mode="drop"))
+                        l_full.at[idx_ok].set(
+                            lower_cast(l_new + C2[None, :]), mode="drop"),
+                        lminA_full.at[idx_ok].set(
+                            jnp.min(l_new, axis=1) + MG2, mode="drop"))
 
-            linit = _mark_varying(
-                (jnp.int32(0), assign, u3, l2), axis_name)
-            (_i2, assign2, u4, l4) = lax.while_loop(lcond, lbody, linit)
-            return assign2, u4, l4, n_cand, passed_n
+            def lbody_keep_l(carry):
+                # assignment-width work only: passed rows keep their
+                # stored lower bounds (sound — absolute coordinates stay
+                # valid forever), u and the assignment are rewritten
+                # exactly
+                (i, assign_full, u_full) = carry
+                base = i * schunk
+                idx = lax.dynamic_slice(order2, (base,), (schunk,))
+                row_ok = (base + offs) < n_passed
+                aid, u_new, _lv = exact_assign_bounds(
+                    x[idx], x_sq[idx], with_l=False)
+                idx_ok = jnp.where(row_ok, idx, nl)
+                return (i + 1,
+                        assign_full.at[idx_ok].set(aid, mode="drop"),
+                        u_full.at[idx_ok].set(u_new, mode="drop"))
 
-        def dense_iter(assign, u, l, flags):
-            """Dense path: when the global filter passes (almost)
+            def lf_refresh():
+                linit = _mark_varying(
+                    (jnp.int32(0), assign, u3, l, lminA2), axis_name)
+                _i2, a2, u4, l4, lminA3 = lax.while_loop(
+                    lcond, lbody_refresh, linit)
+                return a2, u4, l4, lminA3
+
+            def lf_keep():
+                linit = _mark_varying(
+                    (jnp.int32(0), assign, u3), axis_name)
+                _i2, a2, u4 = lax.while_loop(lcond, lbody_keep_l, linit)
+                return a2, u4, l, lminA2
+
+            assign2, u4, l4, lminA3 = lax.cond(
+                l_refresh, lf_refresh, lf_keep)
+            return assign2, u4, l4, lminA3, passed_n
+
+        def dense_iter(assign, u2, l, lminA, flags):
+            """Dense path: when the level-0 filter passes (almost)
             everything, one natural-order pass over ALL samples is
-            strictly cheaper than compaction — no gathers, no scatters,
-            no tighten pass.  Three bound-maintenance modes, scheduled at
-            the decision site:
+            strictly cheaper than compaction — no gathers, no scatters.
+            Two bound-maintenance modes, scheduled at the decision site:
 
             - refresh: recompute every bound exactly (panel matmul) — the
               TPU form of the reference's bounds refresh (kmeans_yy_init
               re-run, YINYANG_REFRESH_EPSILON, kmeans.cu:1117-1158);
-            - preserve: keep the drifted lower bounds (one extra (n, G)
-              write) — used right after a refresh so the next iteration's
-              count can measure whether the refresh engaged the filter
-              before the backoff would discard it;
-            - plain: vacuous zero lower bounds; costs exactly one Lloyd
-              pass.  u refreshes exactly in every mode (free with the
-              assignment matmul).
+              rewrites l/lminA in the current absolute coordinates;
+            - plain: keep the stored bounds untouched (absolute
+              coordinates stay valid with no per-iteration write — the
+              old 'preserve' mode's (n, G) copy is now free); costs
+              exactly one Lloyd assignment pass.
 
-            Per-row assignments are bitwise identical to the compacted
-            path in every mode (matmul elements are row-independent and
-            the argmin never reads a bound), so mode choice never changes
-            the output, only the wall time.  At most two (n, G) arrays
-            are ever live."""
-            mode_refresh, mode_preserve, lvac = flags[0], flags[1], flags[3]
+            u refreshes exactly in both modes (free with the assignment
+            matmul).  Per-row assignments are bitwise identical to the
+            compacted path in either mode (matmul elements are
+            row-independent and the argmin never reads a bound), so mode
+            choice never changes the output, only the wall time."""
+            mode_refresh = flags[0]
 
-            def l2_and_count():
-                return scan_l2()
-
-            def count_only():
-                return scan_count(), _mark_varying(
-                    jnp.zeros((nl, g), bounds_dtype), axis_name)
-
-            def skip_count():
-                # vacuous lower bounds (zeros): lmin <= 0 <= u for every
-                # row, so the drift/count pass provably returns "all valid
-                # rows" — skip its O(n*k) one-hot drift matvec entirely.
-                # This is what makes the plain dense iteration cost
-                # exactly one Lloyd assignment pass.
-                return n_valid_local, _mark_varying(
-                    jnp.zeros((nl, g), bounds_dtype), axis_name)
-
-            n_cand, l_keep = lax.cond(
-                mode_preserve, l2_and_count,
-                lambda: lax.cond(lvac, skip_count, count_only))
-
-            def dpass(with_l):
+            def dpass_refresh():
                 def dbody(_, inp):
                     xb, xsqb, vb, ab, ub = inp
-                    out = exact_assign_bounds(xb, xsqb, with_l=with_l)
-                    aid, u_new = out[0], out[1]
+                    aid, u_new, l_new = exact_assign_bounds(xb, xsqb)
                     aid = jnp.where(vb, aid, jnp.uint32(k))
-                    res = (jnp.where(vb, aid, ab),
-                           jnp.where(vb, u_new, ub))
-                    if with_l:
-                        res += (out[2],)
-                    return None, res
+                    return None, (jnp.where(vb, aid, ab),
+                                  jnp.where(vb, u_new, ub),
+                                  lower_cast(l_new + C2[None, :]),
+                                  jnp.min(l_new, axis=1) + MG2)
 
-                def run():
-                    _, outs = lax.scan(
-                        dbody, None,
-                        (x.reshape(nchunks, chunk, f),
-                         x_sq.reshape(nchunks, chunk),
-                         valid.reshape(nchunks, chunk),
-                         assign.reshape(nchunks, chunk),
-                         u.reshape(nchunks, chunk)))
-                    a2, u4 = outs[0].reshape(nl), outs[1].reshape(nl)
-                    l4 = outs[2].reshape(nl, g) if with_l else l_keep
-                    return a2, u4, l4
+                _, outs = lax.scan(
+                    dbody, None,
+                    (x.reshape(nchunks, chunk, f),
+                     x_sq.reshape(nchunks, chunk),
+                     valid.reshape(nchunks, chunk),
+                     assign.reshape(nchunks, chunk),
+                     u2.reshape(nchunks, chunk)))
+                return (outs[0].reshape(nl), outs[1].reshape(nl),
+                        outs[2].reshape(nl, g), outs[3].reshape(nl))
 
-                return run
+            def dpass_plain():
+                def dbody(_, inp):
+                    xb, xsqb, vb, ab, ub = inp
+                    aid, u_new, _lv = exact_assign_bounds(
+                        xb, xsqb, with_l=False)
+                    aid = jnp.where(vb, aid, jnp.uint32(k))
+                    return None, (jnp.where(vb, aid, ab),
+                                  jnp.where(vb, u_new, ub))
 
-            a2, u4, l4 = lax.cond(mode_refresh, dpass(True), dpass(False))
-            return a2, u4, l4, n_cand, n_valid_local
+                _, outs = lax.scan(
+                    dbody, None,
+                    (x.reshape(nchunks, chunk, f),
+                     x_sq.reshape(nchunks, chunk),
+                     valid.reshape(nchunks, chunk),
+                     assign.reshape(nchunks, chunk),
+                     u2.reshape(nchunks, chunk)))
+                return (outs[0].reshape(nl), outs[1].reshape(nl),
+                        l, lminA)
+
+            a2, u4, l4, lminA3 = lax.cond(
+                mode_refresh, dpass_refresh, dpass_plain)
+            return a2, u4, l4, lminA3, n_valid_local
 
         # global (replicated) dense/compacted decision so every shard
-        # compiles and takes the same branch.  The decision uses the
-        # PREVIOUS iteration's candidate count (carried, already psum'd):
-        # each branch then runs its own drift/count pass, which keeps the
-        # (n, G) arrays branch-local (no cross-branch defensive copies).
-        # A one-iteration-stale decision costs at most one suboptimal
-        # branch choice after a regime shift — never a different result.
+        # compiles and takes the same branch.  The level-0 count is
+        # computed before the branch (it is a cheap (n,)-elementwise
+        # pass), so the decision uses the CURRENT iteration's count — no
+        # regime lag.
         n_all = jnp.int32(nl)
         if axis_name is not None:
             n_all = lax.psum(n_all, axis_name)
         use_dense = first | jnp.logical_not(sparse_ok) | (
-            prev_cand.astype(jnp.float32)
+            n_cand_all.astype(jnp.float32)
             > config.YY_DENSE_FRACTION * n_all.astype(jnp.float32))
         if debug_mode != 0:  # triage modes must exercise the sparse path
             use_dense = jnp.bool_(False)
-        # exponential-backoff refresh schedule for the dense path: each
-        # bound refresh that fails to engage the filter (the next
-        # iteration is dense again) doubles the number of plain-Lloyd
-        # iterations before the next try; a sparse iteration resets it.
-        # The iteration right after a refresh preserves the fresh bounds
-        # so the engagement measurement survives to the next decision.
-        mode_refresh = use_dense & (refresh_in <= 0) & ~refreshed_prev
-        mode_preserve = use_dense & refreshed_prev
+        # dense refresh backoff: each refresh that fails to engage the
+        # filter (the NEXT iteration is dense again) doubles the number
+        # of plain-Lloyd iterations before the next try; a refresh after
+        # which the run went sparse resets the period to 1.
+        period_adj = jnp.where(
+            ref_any_prev & use_dense,
+            jnp.minimum(period * 2,
+                        jnp.int32(config.YY_REFRESH_BACKOFF_MAX)),
+            jnp.where(ref_any_prev, jnp.int32(1), period))
+        mode_refresh = use_dense & (refresh_in <= 0) & ~ref_any_prev
         do_tighten = tskip_in <= 0
-        if debug_mode != 0:  # triage modes must exercise the tighten path
+        # sparse-path lower-bound refresh trigger, directly
+        # cost-justified: a refresh costs every passed row the panel
+        # matmul (~1.2x the assignment matmul), while stale bounds cost
+        # one assignment-width local-filter row for every EXTRA
+        # candidate they admit.  Refresh once the candidate count has
+        # grown past YY_SPARSE_REFRESH_GROWTH times its level right
+        # after the previous refresh (cand_mark, recorded one iteration
+        # after each refresh — the first count computed against fresh
+        # bounds).  cand_mark starts at 0, so the first sparse iteration
+        # always refreshes.
+        sparse_refresh = jnp.logical_not(use_dense) & ~ref_any_prev & (
+            n_cand_all.astype(jnp.float32)
+            > config.YY_SPARSE_REFRESH_GROWTH
+            * cand_mark.astype(jnp.float32))
+        if debug_mode != 0:  # triage modes must exercise every phase
             do_tighten = jnp.bool_(True)
-        assign2, u4, l4, n_cand, passed_n = lax.cond(
-            use_dense, dense_iter, sparse_iter, assign, u, l,
-            (mode_refresh, mode_preserve, do_tighten, l_vac))
-        # the lower bounds come out vacuous (zeros) exactly after a plain
-        # dense iteration; tracking that lets the next iteration skip the
-        # provably-all-candidates drift/count pass
-        l_vac2 = use_dense & ~mode_refresh & ~mode_preserve
-        n_cand_all = n_cand
-        if axis_name is not None:
-            n_cand_all = lax.psum(n_cand_all, axis_name)
+            sparse_refresh = jnp.bool_(True)
+        assign2, u4, l4, lminA3, passed_n = lax.cond(
+            use_dense, dense_iter, sparse_iter, assign, u2, l, lminA,
+            (mode_refresh, do_tighten, sparse_refresh))
         refresh_in2 = jnp.where(
             ~use_dense, jnp.int32(0),
-            jnp.where(mode_refresh, period,
-                      jnp.where(mode_preserve, refresh_in,
-                                refresh_in - 1)))
-        period2 = jnp.where(
-            ~use_dense, jnp.int32(1),
-            jnp.where(mode_refresh,
-                      jnp.minimum(period * 2,
-                                  jnp.int32(config.YY_REFRESH_BACKOFF_MAX)),
-                      period))
+            jnp.where(mode_refresh, period_adj, refresh_in - 1))
+        period2 = period_adj
+        # the first candidate count computed against fresh bounds (one
+        # iteration after any refresh) is the growth trigger's baseline
+        cand_mark2 = jnp.where(ref_any_prev, n_cand_all, cand_mark)
+        ref_any2 = sparse_refresh | mode_refresh
 
-        # ---- phase 3: incremental centroid update from the moved set ----
-        # fused/compacted prediction from the PREVIOUS iteration's count —
-        # the same rule, threshold and per-chunk arithmetic as the
-        # incremental Lloyd driver (ops.assign.lloyd_run_incremental), so
-        # both accumulate the shared delta stream bitwise identically
+        # ---- bound patch for refresh-skipping iterations -----------------
+        # l[g] excludes the ASSIGNED centroid from its own group
+        # (kmeans_yy_init semantics).  An iteration that rewrites
+        # assignments without refreshing l (sparse with the refresh
+        # backed off, or a plain dense pass) leaves every MOVED row's
+        # stored l excluding its OLD assignment — which is now a
+        # legitimate competitor whose distance may undercut the stored
+        # bound.  Walk the moved rows (churn-sized — tiny in exactly the
+        # regimes that skip refreshes) and give them fresh exact bounds.
+        # The recomputed assignment is bitwise the one just stored
+        # (argmin_rescored is batch-layout independent), so only
+        # (u, l, lminA) are written.
         moved = assign2 != assign
         n_moved = jnp.sum(moved, dtype=jnp.int32)
+        skipped_refresh = jnp.where(
+            use_dense, ~mode_refresh, ~sparse_refresh)
+
+        def patch_moved(u4, l4, lminA3):
+            morder, nm = C.stable_partition(moved)
+            order_p = pad_order(morder)
+            n_act = (nm + schunk - 1) // schunk
+
+            def pcond(c):
+                return c[0] < n_act
+
+            def pbody(c):
+                i, u_full, l_full, lminA_full = c
+                base = i * schunk
+                idx = lax.dynamic_slice(order_p, (base,), (schunk,))
+                row_ok = (base + offs) < nm
+                _aid, u_new, l_new = exact_assign_bounds(x[idx], x_sq[idx])
+                idx_ok = jnp.where(row_ok, idx, nl)
+                return (i + 1,
+                        u_full.at[idx_ok].set(u_new, mode="drop"),
+                        l_full.at[idx_ok].set(
+                            lower_cast(l_new + C2[None, :]), mode="drop"),
+                        lminA_full.at[idx_ok].set(
+                            jnp.min(l_new, axis=1) + MG2, mode="drop"))
+
+            pinit = _mark_varying((jnp.int32(0), u4, l4, lminA3),
+                                  axis_name)
+            _i, u5, l5, lminA5 = lax.while_loop(pcond, pbody, pinit)
+            return u5, l5, lminA5
+
+        u4, l4, lminA3 = lax.cond(
+            skipped_refresh, patch_moved,
+            lambda u, lv, lm: (u, lv, lm), u4, l4, lminA3)
 
         def d_dense():
             return C.delta_dense(
@@ -658,27 +740,40 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
         log_pa = log_pa.at[it].set(passed_n)
         log_ca = log_ca.at[it].set(n_cand_all)
         mark2, stale2 = _stagnation_update(changed2, bestch, stale)
-        return (c_new, assign2, u4, l4,
+        return (c_new, assign2, u4, l4, lminA3,
                 (sums + d_sums, counts + d_counts), it + 1, changed2,
                 log_ch, log_pa, log_ca,
                 (refresh_in2, period2, tskip_in2, tperiod2,
-                 n_cand_all, mode_refresh, l_vac2, mark2, stale2))
+                 cand_mark2, ref_any2, C2, MG2, mark2, stale2))
 
-    assign0, u0, l0 = _mark_varying(
-        (assign0, u0, l0.astype(bounds_dtype)), axis_name)
-    init = (centroids0, assign0, u0, l0, (sums0, counts0),
+    assign0, u0, l0, lminA0 = _mark_varying(
+        (assign0, u0, l0.astype(bounds_dtype), lminA0), axis_name)
+    init = (centroids0, assign0, u0, l0, lminA0, (sums0, counts0),
             jnp.int32(0), limits[7],
             jnp.zeros((LOG_CAPACITY,), jnp.int32),
             jnp.zeros((LOG_CAPACITY,), jnp.int32),
             jnp.zeros((LOG_CAPACITY,), jnp.int32),
             (jnp.int32(0), jnp.int32(1), jnp.int32(0), jnp.int32(1),
              jnp.int32(0), jnp.bool_(False),
-             # l starts vacuous on a fresh start (zeros); a resumed
-             # segment's carried l is treated as real (conservative: one
-             # count pass, then the schedule re-learns vacuity)
-             jnp.logical_not(resume),
+             # the drift accumulators C (per group) and MG (global max)
+             # start at zero each segment: the stored l / lminA enter in
+             # drift-CURRENT coordinates and leave rebased below, so the
+             # resume state never carries unbounded accumulators
+             jnp.zeros((g,), jnp.float32), jnp.float32(0.0),
              limits[3], limits[4]))
-    (c_cur, assign, u_fin, l_fin, (sums_fin, counts_fin), it, _changed,
-     log_ch, log_pa, log_ca, rb) = lax.while_loop(cond, body, init)
-    return (c_cur, assign, it, log_ch, log_pa, log_ca, u_fin, l_fin,
-            sums_fin, counts_fin, jnp.stack([rb[7], rb[8]]))
+    (c_cur, assign, u_fin, l_fin, lminA_fin, (sums_fin, counts_fin), it,
+     _changed, log_ch, log_pa, log_ca, rb) = lax.while_loop(
+        cond, body, init)
+    # segment-exit rebase: fold the accumulated drift into the stored
+    # bounds so the returned (l, lminA) are plain drift-current values
+    # (what the bound-invariant tests check and what the next segment
+    # enters with C = MG = 0).  One (n, G) pass per SEGMENT, not per
+    # iteration; the downward margins keep the rebased values sound.
+    C_fin, MG_fin = rb[6], rb[7]
+    la = l_fin.astype(jnp.float32)
+    l_out = lower_cast((la - C_fin[None, :])
+                       - 2.4e-7 * (jnp.abs(la) + C_fin[None, :]))
+    lminA_out = ((lminA_fin - MG_fin)
+                 - 2.4e-7 * (jnp.abs(lminA_fin) + MG_fin))
+    return (c_cur, assign, it, log_ch, log_pa, log_ca, u_fin, l_out,
+            lminA_out, sums_fin, counts_fin, jnp.stack([rb[8], rb[9]]))

@@ -112,13 +112,19 @@ def test_yinyang_iteration_golden(samples, capsys):
 
 #: Seed-locked iteration trajectory for bf16-storage (fp16 input)
 #: kmeans++/Yinyang — the analog of the reference's fp16 Yinyang "16+7"
-#: golden (test.py:525-534).  Pinned from the first CPU-8 run (self
+#: golden (test.py:525-534).  Pinned from the CPU-8 run (self
 #: -referential, like every golden here): guards the bf16 assignment
 #: matmul path, the draft handoff and the delta stream under reduced
-#: precision.
+#: precision.  NOTE: unlike fp32, the bf16 trajectory is sensitive to
+#: the Yinyang work schedule on knife-edge rows — bf16 scores can leave
+#: the exact argmin outside the top-2 rescore window, so a row the
+#: filter exempts (soundly, w.r.t. exact distances) may differ from
+#: what a full recompute would assign.  This is the reference's own
+#: documented fp16 behavior class ("more iterations, Yinyang
+#: sensitive", README.md:119-122); re-pin when the schedule changes.
 YY_BF16_GOLDEN_COUNTS = [13000, 1761, 1041, 821, 702, 578, 490, 454, 394,
-                         330, 302, 282, 271, 235, 257, 267, 254, 209, 175,
-                         167, 169, 155, 158, 140, 144, 142, 152, 129]
+                         330, 302, 286, 274, 241, 253, 258, 252, 234, 188,
+                         180, 188, 163, 155, 153, 162, 136, 115]
 
 
 def test_yinyang_bf16_iteration_golden(samples, capsys):
