@@ -325,7 +325,7 @@ def run(problem, centroids, assignments, tolerance, groups,
     flat_slot_d = p.topo.put_replicated(jnp.asarray(flat_slot))
     u = p.topo.put_sharded(jnp.zeros((p.n_pad,), jnp.float32))
     l = p.topo.put_sharded(jnp.zeros((p.n_pad, groups), bounds_dtype))
-    lminA = p.topo.put_sharded(jnp.zeros((p.n_pad,), jnp.float32))
+    ga = p.topo.put_sharded(jnp.zeros((p.n_pad,), jnp.int32))
 
     # ---- phase 3: the segmented main loop under the controller ----------
     # (bounded dispatches, live progress, exact (u, l, sums, counts,
@@ -350,15 +350,23 @@ def run(problem, centroids, assignments, tolerance, groups,
     reprobe_after = config.YY_REPROBE_ITERS
     since_revoke = 0
     dense_frac = float(config.YY_DENSE_FRACTION) * p.n_pad
+    # refresh/tighten backoff schedule, round-tripped through the device
+    # loop so segment boundaries never reset it (a reset forced a full
+    # (n, G) refresh every few iterations — the round-4 sawtooth):
+    # (refresh_in, period, tskip, tperiod, cand_mark, pass_mark,
+    # prev_passed, ref_any)
+    sched = (0, 1, 0, 1, 0, 0, 0, 0)
     while True:
         t0 = time.perf_counter()
-        (c_fin, assignments, it, log_ch, log_pa, log_ca, u, l, lminA,
+        (c_fin, assignments, it, log_ch, log_pa, log_ca, u, l, ga,
          sums, counts, stag) = run_fn(
             p.x, p.x_sq, p.valid, assignments, centroids, sums, counts,
-            pad_src_d, pad_pen_d, flat_slot_d, u, l, lminA,
-            drv.limits(tol_count, resume, sparse_ok, drv.prev, seg=seg))
+            pad_src_d, pad_pen_d, flat_slot_d, u, l, ga,
+            drv.limits(tol_count, resume, sparse_ok, drv.prev, *sched,
+                       seg=seg))
         it, log_ch, log_pa, log_ca, stag = jax.device_get(
             (it, log_ch, log_pa, log_ca, stag))
+        sched = tuple(int(v) for v in stag[2:10])
         wall = time.perf_counter() - t0
 
         def _dbg(i):

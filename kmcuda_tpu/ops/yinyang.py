@@ -7,13 +7,16 @@ centroid of group g (kmeans_yy_init, kmeans.cu:432-485).  Per iteration:
 1. adjust centroids from the running sums; per-centroid drift
    (kmeans_yy_calc_drifts, kmeans.cu:488-499) and per-group max drift
    (kmeans_yy_find_group_max_drifts, kmeans.cu:501-538);
-2. *global filter*: u += drift[assigned], l[g] -= group_drift[g]; samples
+2. *global filter*: u += drift erosion, l[g] -= group_drift[g]; samples
    with u < min_g l[g] provably keep their assignment
-   (kmeans_yy_global_filter, kmeans.cu:541-582).  The per-sample drift
-   lookup is a one-hot matvec (a gather from a small table lowers to
-   element-serial code on TPU); exact per-centroid drift keeps the filter
-   as tight as the reference's — a group-level bound was measured to leave
-   ~half the data candidate forever;
+   (kmeans_yy_global_filter, kmeans.cu:541-582).  TPU form (round 4): the
+   stored (n, G) bounds live in drift-ABSOLUTE coordinates (l_now =
+   l - C2[g], C2 = accumulated group max drift), so the filter is ONE
+   read-only streamed pass at HBM speed — no (n, G) rewrite, no
+   per-centroid one-hot drift matvec (the previous design's pass cost
+   ~5 ms of a 31 ms Lloyd budget at 1M x 256 @ 1024); u erodes by the
+   scalar max drift between its free exact refreshes (every assignment
+   matmul yields exact u);
 3. candidates are compacted and walked by a dynamic-trip-count loop that
    first tightens u to the exact own-centroid distance (per-candidate F
    work) and, only when some candidate in the chunk still passes, runs the
@@ -95,7 +98,7 @@ def exact_drift(c_new, c_old, metric):
     static_argnames=("n_clusters", "groups", "group_cap", "metric", "chunk",
                      "axis_name", "debug_mode", "bounds_dtype"))
 def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
-           pad_src, pad_pen, flat_slot, u0, l0, lminA0, limits, *,
+           pad_src, pad_pen, flat_slot, u0, l0, ga0, limits, *,
            n_clusters: int, groups: int, group_cap: int,
            metric: D.DistanceMetric, chunk: int, axis_name=None,
            debug_mode: int = 0, bounds_dtype=jnp.float32):
@@ -111,29 +114,43 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
                resume: the previous segment's returned (u, l) +
                resume=1 — bitwise-exact continuation (the host driver
                bounds each device dispatch, models/lloyd._SegmentDriver).
-    lminA0:    (n,) fp32 — per-sample cached min-over-groups lower bound,
-               the LEVEL-0 filter state (round 4): the per-iteration
-               global filter is a pure elementwise pass over
-               (u, lminA, valid) with scalar max-drift erosion — no
-               (n, G) traffic, no per-centroid drift lookup — and the
-               stored (n, G) bounds are only read for the rows it
-               admits.  Fresh start: zeros (vacuous); resume: the
-               previous segment's returned value.
-    limits:    int32[8] = (tol_count, max_iterations, patience, mark0,
-               stale0, resume, sparse_ok, prev_changed0) packed in one
-               array (single transfer per segment call); (mark0, stale0)
-               resume the stagnation counters across segments (int32 max
-               / 0 fresh); sparse_ok is the wall-clock controller's
-               permission for the compacted branch (wall time only,
-               never results); prev_changed0 seeds the delta-update
-               fused/compacted prediction (compact.predict_dense) with
-               the previous segment's — or the Lloyd draft's — last
-               reassignment count, keeping the accumulation stream in
-               bitwise lockstep with the incremental Lloyd driver.
+    ga0:       (n,) int32 — group id of each sample's ASSIGNED centroid
+               (round 4).  Lets the stored u live in group-absolute
+               drift coordinates (current value = u + C2[ga]): a
+               sample's upper bound erodes only by its OWN group's
+               accumulated max drift instead of the global max — the
+               global-max erosion was measured to admit 30-45%% of a
+               contested 1M x 256 @ 1024 fixture as candidates (one fast
+               centroid eroded every row's gap), per-group erosion
+               admits only true near-boundary rows.  Maintained for
+               free at every assignment write (ga = own panel slot
+               // cap).  Fresh start: zeros (vacuous under the forced
+               first-iteration refresh); resume: the returned value.
+    limits:    int32[16] = (tol_count, max_iterations, patience, mark0,
+               stale0, resume, sparse_ok, prev_changed0, refresh_in0,
+               period0, tskip0, tperiod0, cand_mark0, pass_mark0,
+               prev_passed0, ref_any0) packed in one array (single
+               transfer per segment call);
+               (mark0, stale0) resume the stagnation counters across
+               segments (int32 max / 0 fresh); sparse_ok is the
+               wall-clock controller's permission for the compacted
+               branch (wall time only, never results); prev_changed0
+               seeds the delta-update fused/compacted prediction
+               (compact.predict_dense) with the previous segment's — or
+               the Lloyd draft's — last reassignment count, keeping the
+               accumulation stream in bitwise lockstep with the
+               incremental Lloyd driver; the last eight resume the
+               refresh/tighten backoff schedule (round 4: without them
+               every segment boundary forced a fresh period-1 refresh
+               cadence — measured as a ~5-iteration full-refresh
+               sawtooth that cost the dense path ~60%% over Lloyd).
+               Fresh start: (0, 1, 0, 1, 0, 0, 0, 0).
 
     Returns (centroids_used, assign, iterations, changed_log, passed_log,
-    cand_log, u, l, lminA, sums, counts, stag) — ``stag`` is the int32[2]
-    (mark, stale) stagnation state to feed the next segment.
+    cand_log, u, l, ga, sums, counts, sched) — ``sched`` is the int32[10]
+    (mark, stale, refresh_in, period, tskip, tperiod, cand_mark,
+    pass_mark, prev_passed, ref_any) schedule state to feed the next
+    segment's limits tail.
     """
     tol_count, max_iterations = limits[0], limits[1]
     patience, resume = limits[2], limits[5] != 0
@@ -149,6 +166,7 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
     nl, f = x.shape
     nchunks = nl // chunk
     iota_gp = lax.broadcasted_iota(jnp.int32, (1, g * p), 1)
+    iota_g2 = lax.broadcasted_iota(jnp.int32, (1, g), 1)
     iota_k1 = lax.broadcasted_iota(jnp.uint32, (1, k + 1), 1)
     pad_src_flat = pad_src.reshape(-1)
     pad_pen_flat = pad_pen.reshape(-1)
@@ -193,15 +211,15 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
 
     def cond(carry):
         it, changed = carry[6], carry[7]
-        _bestch, stale = carry[11][8], carry[11][9]
+        _bestch, stale = carry[11][9], carry[11][10]
         return (it == 0) | ((changed > tol_count) & (it < max_iterations)
                             & (stale < patience))
 
     def body(carry):
-        (c_cur, assign, u, l, lminA, sc, it, prev_changed, log_ch,
+        (c_cur, assign, u, l, ga, sc, it, prev_changed, log_ch,
          log_pa, log_ca, (refresh_in, period, tskip_in, tperiod,
-                          cand_mark, ref_any_prev, accC, accMG, bestch,
-                          stale)) = carry
+                          cand_mark, pass_mark, prev_pa, ref_any_prev,
+                          accC, bestch, stale)) = carry
         sums, counts = sc
         first = (it == 0) & jnp.logical_not(resume)
         c_new = D.normalize_centroids(
@@ -209,13 +227,11 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
         drift = exact_drift(c_new, c_cur, metric)
         gdrift = jnp.max(
             jnp.where(pad_pen > 0, 0.0, drift[pad_src]), axis=1)
-        # drift accumulators for the absolute-coordinate bounds: C2[g]
+        # drift accumulator for the absolute-coordinate bounds: C2[g]
         # accumulates (at least) each group's max drift since the segment
-        # started, MG2 the global max — both rounded UP so the read-side
-        # subtractions (l - C2, lminA - MG2) can only under-estimate,
-        # never overshoot, the true drifted bounds
+        # started, rounded UP so the read-side subtraction (l - C2) can
+        # only under-estimate, never overshoot, the true drifted bound
         C2 = (accC + gdrift) * (1.0 + 2.0 ** -20)
-        MG2 = (accMG + jnp.max(gdrift)) * (1.0 + 2.0 ** -20)
         # lookup tables for one-hot matmuls MUST be NaN-free: the zero
         # entries of a one-hot row multiply every table row, and
         # 0 * NaN = NaN would poison the whole product (dead centroids
@@ -253,46 +269,65 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
             pad_panel = (-c_pad_rows).astype(x.dtype).T
             pad_bias = pad_pen_flat
 
-        # ---- phase 1: the LEVEL-0 global filter (round 4) ---------------
-        # A pure-elementwise pass over three (n,) arrays — no one-hot
-        # drift matvec, no (n, G) touch.  u erodes by the SCALAR max
-        # centroid drift (a Hamerly-style level-0 bound: looser than the
-        # per-centroid lookup, but the level-1 re-test below restores
-        # exactness for anything it admits), and the cached per-row lower
-        # bound lminA lives in MG-absolute coordinates (current value =
-        # lminA - MG2), so maintaining it costs nothing per iteration.
-        # The old per-iteration drift pass streamed and REWROTE the whole
-        # (n, G) l array plus an O(n*k) one-hot matvec — measured ~5 ms
-        # of a 31 ms Lloyd-pass budget at 1M x 256 @ 1024 on v5e; this
-        # pass is ~0.3 ms.  The l array itself is likewise stored in
-        # C-absolute coordinates (current value = l - C2 per group) and
-        # is only ever READ for level-1 candidates and WRITTEN on
-        # refresh, never drift-updated in place.
-        maxd = jnp.max(drift) * (1.0 + 2.0 ** -20)
+        # group-accumulator value of a batch's assigned groups, via a
+        # fused compare/select over a (B, G) tile — never a dynamic
+        # gather (small-table gathers lower to element-serial code)
+        def c2_of(gab):
+            return jnp.sum(
+                jnp.where(gab[:, None] == iota_g2, C2[None, :], 0.0),
+                axis=1)
 
-        def level0():
+        # store an exact upper bound in group-absolute coordinates:
+        # current value is recovered as (u + C2[ga]); the upward margins
+        # keep it a true upper bound under the fp32 subtract/add pair
+        def u_store(u_exact, gab):
+            c2w = c2_of(gab)
+            return (u_exact - c2w) + 2.4e-7 * (u_exact + c2w)
+
+        # ---- phase 1: READ-ONLY global filter (round 4) ------------------
+        # One streamed pass over (valid, u, ga, l).  Both bound arrays
+        # live in drift-ABSOLUTE coordinates: u's current value is
+        # u + C2[ga] (erodes only by the ASSIGNED group's accumulated
+        # max drift — a global-max erosion was measured to admit 30-45%%
+        # of a contested fixture; per-group admits only true
+        # near-boundary rows), l's current value is l - C2[g] — the
+        # classic Yinyang global filter.  The per-row min lands in an
+        # (n,) fp32 side array the sparse tighten re-reads (saving its
+        # (n, G) gather).  The old drift pass REWROTE the whole (n, G)
+        # l array every iteration plus an O(n*k) one-hot drift matvec —
+        # measured ~5 ms of a 31 ms Lloyd-pass budget at 1M x 256 @
+        # 1024 on v5e; this pass READS (l, u, ga) sequentially at HBM
+        # speed (~0.6 ms fp32) and writes only (n,)-sized arrays;
+        # non-candidate rows' storage is never touched, so skipped rows
+        # accumulate NO erosion beyond their group's true drift.
+
+        def global_filter():
             def cbody(acc, inp):
-                vb, ub, lab = inp
-                # (1 + 1e-7) absorbs the addition rounding so u stays an
-                # upper bound across many accumulations; the read-side
-                # margin keeps (lminA - MG2) a true lower bound under
-                # fp32 subtraction of two accumulated quantities
-                u2 = (ub + maxd) * (1.0 + 1e-7)
-                r = (lab - MG2) - 2.4e-7 * (jnp.abs(lab) + MG2)
+                vb, ub, gab, lb = inp
+                c2r = jnp.sum(
+                    jnp.where(gab[:, None] == iota_g2, C2[None, :], 0.0),
+                    axis=1)
+                u_now = (ub + c2r) + 2.4e-7 * (jnp.abs(ub) + c2r)
+                la = lb.astype(jnp.float32)
+                l_now = ((la - C2[None, :])
+                         - 2.4e-7 * (jnp.abs(la) + C2[None, :]))
+                lmin = jnp.min(l_now, axis=1)
                 # '>=', not '>': a knife-edge tie must reach the local
                 # filter so its argmin matches Lloyd's exactly
-                cand = vb & (first | (u2 >= r))
-                if debug_mode == 1:   # triage: distrust the level-0 test
+                cand = vb & (first | (u_now >= lmin))
+                if debug_mode == 1:   # triage: distrust the global test
                     cand = vb
-                return acc + jnp.sum(cand, dtype=jnp.int32), (u2, cand)
+                return (acc + jnp.sum(cand, dtype=jnp.int32),
+                        (lmin, cand))
 
-            n_cand, (u2, cand) = lax.scan(
+            n_cand, (lmin, cand) = lax.scan(
                 cbody, _mark_varying(jnp.int32(0), axis_name),
                 (vc, u.reshape(ncheap, cheap_chunk),
-                 lminA.reshape(ncheap, cheap_chunk)))
-            return n_cand, u2.reshape(nl), cand.reshape(nl)
+                 ga.reshape(ncheap, cheap_chunk),
+                 l.reshape(ncheap, cheap_chunk, g)))
+            return n_cand, lmin.reshape(nl), cand.reshape(nl)
 
-        n_cand, u2, cand = level0()
+        n_cand, lmin_now, cand = global_filter()
         n_cand_all = n_cand
         if axis_name is not None:
             n_cand_all = lax.psum(n_cand_all, axis_name)
@@ -319,10 +354,13 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
             *under*-estimates competitor distances).  The adaptive paths
             use it to drop to plain-Lloyd cost on filter-hostile data.
 
-            Returns (aid, u_new, l_new) with l_new in PLAIN fp32 drift
-            -current coordinates; callers store
-            ``lower_cast(l_new + C2)`` / ``min_g l_new + MG2`` to convert
-            into the absolute coordinates the arrays carry."""
+            Returns (aid, u_new, l_new, ga_new): u_new/l_new in PLAIN
+            fp32 drift-current coordinates — callers store
+            ``u_store(u_new, ga_new)`` / ``lower_cast(l_new + C2)`` to
+            convert into the absolute coordinates the stored arrays
+            carry — and ga_new the assigned centroid's group id (its
+            flat panel slot // capacity, so it costs one small matvec
+            shared with the own-slot exclusion)."""
             s = D.scores(xb, c_t, c_sq_pad, penalty, metric)
             # exact top-2 rescore: the argmin is bitwise batch-layout
             # independent, which is what lets the compacted (gathered)
@@ -341,9 +379,15 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
                 # exact angle for unit vectors: 2 asin(chord / 2)
                 u_new = 2.0 * jnp.arcsin(
                     jnp.clip(jnp.sqrt(d2m) * 0.5, 0.0, 1.0))
+            oha = (aid[:, None] == iota_k1).astype(jnp.float32)
+            own_flat = jnp.dot(oha, flat_slot_f,
+                               precision=lax.Precision.HIGHEST
+                               ).astype(jnp.int32)               # (B,)
+            ga_new = own_flat // p
             if not with_l:
                 return aid, u_new, _mark_varying(
-                    jnp.zeros((xb.shape[0], g), jnp.float32), axis_name)
+                    jnp.zeros((xb.shape[0], g), jnp.float32),
+                    axis_name), ga_new
             # group minima from the padded-panel matmul (same dot
             # products up to matmul rounding; the stored lower bound gets
             # a downward margin below so an ulp can never inflate it).
@@ -360,10 +404,6 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
                           precision=D.mm_precision(x.dtype))
                   + pad_bias[None, :])                          # (B, G*P)
             sp = jnp.where(jnp.isfinite(sp), sp, config.PAD_PENALTY)
-            oha = (aid[:, None] == iota_k1).astype(jnp.float32)
-            own_flat = jnp.dot(oha, flat_slot_f,
-                               precision=lax.Precision.HIGHEST
-                               ).astype(jnp.int32)               # (B,)
             sp = jnp.where(iota_gp == own_flat[:, None],
                            config.PAD_PENALTY, sp)
             l_sc = jnp.min(sp.reshape(xb.shape[0], g, p), axis=2)
@@ -372,21 +412,21 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
             # differently than the natural-layout one the assignments
             # (and u) come from; a lower bound must never exceed truth
             l_new = l_new - eps * (1.0 + l_new)
-            return aid, u_new, l_new
+            return aid, u_new, l_new, ga_new
 
-        def sparse_iter(assign, u2, l, lminA, flags):
-            """Compacted path: evaluate the stored level-1 group bounds
-            (+ exact own-centroid tighten) over the level-0
-            pre-candidates, then run the local filter only over the
-            samples that still pass.  Gathers / scatters cost
-            O(candidates), worth it only when the filters actually
+        def sparse_iter(assign, u_st, l, ga2, flags):
+            """Compacted path: tighten u to the exact own-centroid
+            distance over the global-filter candidates and re-test
+            against the phase-1 ``lmin_now``, then run the local filter
+            only over the samples that still pass.  Gathers / scatters
+            cost O(candidates), worth it only when the filters actually
             filter.
 
-            The level-1 phase is adaptive (``flags[1]``, ``do_tighten``):
+            The tighten phase is adaptive (``flags[1]``, ``do_tighten``):
             its row costs ~1/3 of a local-filter row (gathers +
             elementwise, no k-matmul), so it pays only when it prunes
-            more than ~1/3 of the pre-candidates.  When skipped, every
-            pre-candidate goes straight to the local filter — results
+            more than ~1/3 of the candidates.  When skipped, every
+            candidate goes straight to the local filter — results
             are identical by construction, only the work distribution
             changes (backoff schedule at the decision site).
 
@@ -404,14 +444,15 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
             time."""
             do_tighten, l_refresh = flags[1], flags[2]
 
-            # ---- phase 2a: LEVEL-1 over the compacted pre-candidates ----
-            # (the reference's global filter + tightening,
-            # kmeans.cu:541-582): gather the row's stored group bounds,
-            # convert from C-absolute coordinates, take the exact
-            # own-centroid distance, re-test.  Results are written back
-            # with per-chunk scatters (cost proportional to the candidate
-            # count) — full-size dynamic-index gathers/scatters run ~20x
-            # below HBM speed on TPU, so nothing O(n) goes through them.
+            # ---- phase 2a: tighten u over the compacted candidates ------
+            # (the reference's global-filter tightening,
+            # kmeans.cu:541-582): take the exact own-centroid distance,
+            # re-test against the phase-1 per-row lower bound (gathered
+            # from the (n,) side array — no (n, G) gather).  Results are
+            # written back with per-chunk scatters (cost proportional to
+            # the candidate count) — full-size dynamic-index
+            # gathers/scatters run ~20x below HBM speed on TPU, so
+            # nothing O(n) goes through them.
             order, n_c = C.stable_partition(cand)
             order = pad_order(order)
             n_active = (n_c + schunk - 1) // schunk
@@ -420,17 +461,14 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
                 return carry[0] < n_active
 
             def tbody(carry):
-                i, u3_full, lminA_full, passed_full = carry
+                i, u3_full, passed_full = carry
                 base = i * schunk
                 idx = lax.dynamic_slice(order, (base,), (schunk,))
                 row_ok = (base + offs) < n_c
                 xb = x[idx]
                 xsqb = x_sq[idx]
                 ab = jnp.where(row_ok, assign[idx], jnp.uint32(k))
-                la = l[idx].astype(jnp.float32)
-                l_now = ((la - C2[None, :])
-                         - 2.4e-7 * (jnp.abs(la) + C2[None, :]))
-                lminb = jnp.min(l_now, axis=1)
+                lminb = lmin_now[idx]
                 oh1 = (ab[:, None] == iota_k1)
                 cb = jnp.dot(oh1.astype(x.dtype), c_new_ext.astype(x.dtype),
                              preferred_element_type=jnp.float32,
@@ -449,31 +487,35 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
                                   config.PAD_PENALTY)
                 u_ex = D.finalize_distance(score, xsqb, metric)
                 passed_b = row_ok & (u_ex >= lminb)
-                if debug_mode == 2:  # soundness triage: distrust level-1
+                if debug_mode == 2:  # soundness triage: distrust tighten
                     passed_b = row_ok
                 idx_ok = jnp.where(row_ok, idx, nl)
+                # store the tightened bound in group-absolute
+                # coordinates (assignment unchanged: ga comes from the
+                # same one-hot as the own-centroid lookup)
+                gab = jnp.dot(oh1.astype(jnp.float32), flat_slot_f,
+                              precision=lax.Precision.HIGHEST
+                              ).astype(jnp.int32) // p
                 return (i + 1,
-                        u3_full.at[idx_ok].set(u_ex, mode="drop"),
-                        lminA_full.at[idx_ok].set(lminb + MG2,
-                                                  mode="drop"),
+                        u3_full.at[idx_ok].set(u_store(u_ex, gab),
+                                               mode="drop"),
                         passed_full.at[idx_ok].set(passed_b, mode="drop"))
 
             def with_tighten():
                 tinit = _mark_varying(
-                    (jnp.int32(0), u2, lminA, jnp.zeros((nl,), bool)),
+                    (jnp.int32(0), u_st, jnp.zeros((nl,), bool)),
                     axis_name)
-                _i, u3, lminA2, passed = lax.while_loop(
-                    tcond, tbody, tinit)
+                _i, u3, passed = lax.while_loop(tcond, tbody, tinit)
                 order2, n_passed = C.stable_partition(passed)
-                return u3, lminA2, pad_order(order2), n_passed
+                return u3, pad_order(order2), n_passed
 
             def without_tighten():
-                # every pre-candidate goes to the local filter; the
-                # level-0 partition is reused (one sort + one gather walk
-                # saved — pays when level-1 barely prunes)
-                return u2, lminA, order, n_c
+                # every candidate goes to the local filter; the
+                # global-filter partition is reused (one sort + one
+                # gather walk saved — pays when tighten barely prunes)
+                return u_st, order, n_c
 
-            u3, lminA2, order2, n_passed = lax.cond(
+            u3, order2, n_passed = lax.cond(
                 do_tighten, with_tighten, without_tighten)
             passed_n = n_passed
 
@@ -487,55 +529,58 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
                 return carry[0] < n_active2
 
             def lbody_refresh(carry):
-                (i, assign_full, u_full, l_full, lminA_full) = carry
+                (i, assign_full, u_full, l_full, ga_full) = carry
                 base = i * schunk
                 idx = lax.dynamic_slice(order2, (base,), (schunk,))
                 row_ok = (base + offs) < n_passed
-                aid, u_new, l_new = exact_assign_bounds(x[idx], x_sq[idx])
+                aid, u_new, l_new, ga_new = exact_assign_bounds(
+                    x[idx], x_sq[idx])
                 idx_ok = jnp.where(row_ok, idx, nl)
                 return (i + 1,
                         assign_full.at[idx_ok].set(aid, mode="drop"),
-                        u_full.at[idx_ok].set(u_new, mode="drop"),
+                        u_full.at[idx_ok].set(u_store(u_new, ga_new),
+                                              mode="drop"),
                         l_full.at[idx_ok].set(
                             lower_cast(l_new + C2[None, :]), mode="drop"),
-                        lminA_full.at[idx_ok].set(
-                            jnp.min(l_new, axis=1) + MG2, mode="drop"))
+                        ga_full.at[idx_ok].set(ga_new, mode="drop"))
 
             def lbody_keep_l(carry):
                 # assignment-width work only: passed rows keep their
                 # stored lower bounds (sound — absolute coordinates stay
                 # valid forever), u and the assignment are rewritten
                 # exactly
-                (i, assign_full, u_full) = carry
+                (i, assign_full, u_full, ga_full) = carry
                 base = i * schunk
                 idx = lax.dynamic_slice(order2, (base,), (schunk,))
                 row_ok = (base + offs) < n_passed
-                aid, u_new, _lv = exact_assign_bounds(
+                aid, u_new, _lv, ga_new = exact_assign_bounds(
                     x[idx], x_sq[idx], with_l=False)
                 idx_ok = jnp.where(row_ok, idx, nl)
                 return (i + 1,
                         assign_full.at[idx_ok].set(aid, mode="drop"),
-                        u_full.at[idx_ok].set(u_new, mode="drop"))
+                        u_full.at[idx_ok].set(u_store(u_new, ga_new),
+                                              mode="drop"),
+                        ga_full.at[idx_ok].set(ga_new, mode="drop"))
 
             def lf_refresh():
                 linit = _mark_varying(
-                    (jnp.int32(0), assign, u3, l, lminA2), axis_name)
-                _i2, a2, u4, l4, lminA3 = lax.while_loop(
+                    (jnp.int32(0), assign, u3, l, ga2), axis_name)
+                _i2, a2, u4, l4, ga4 = lax.while_loop(
                     lcond, lbody_refresh, linit)
-                return a2, u4, l4, lminA3
+                return a2, u4, l4, ga4
 
             def lf_keep():
                 linit = _mark_varying(
-                    (jnp.int32(0), assign, u3), axis_name)
-                _i2, a2, u4 = lax.while_loop(lcond, lbody_keep_l, linit)
-                return a2, u4, l, lminA2
+                    (jnp.int32(0), assign, u3, ga2), axis_name)
+                _i2, a2, u4, ga4 = lax.while_loop(
+                    lcond, lbody_keep_l, linit)
+                return a2, u4, l, ga4
 
-            assign2, u4, l4, lminA3 = lax.cond(
-                l_refresh, lf_refresh, lf_keep)
-            return assign2, u4, l4, lminA3, passed_n
+            assign2, u4, l4, ga4 = lax.cond(l_refresh, lf_refresh, lf_keep)
+            return assign2, u4, l4, ga4, passed_n
 
-        def dense_iter(assign, u2, l, lminA, flags):
-            """Dense path: when the level-0 filter passes (almost)
+        def dense_iter(assign, u_st, l, ga2, flags):
+            """Dense path: when the global filter passes (almost)
             everything, one natural-order pass over ALL samples is
             strictly cheaper than compaction — no gathers, no scatters.
             Two bound-maintenance modes, scheduled at the decision site:
@@ -543,7 +588,7 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
             - refresh: recompute every bound exactly (panel matmul) — the
               TPU form of the reference's bounds refresh (kmeans_yy_init
               re-run, YINYANG_REFRESH_EPSILON, kmeans.cu:1117-1158);
-              rewrites l/lminA in the current absolute coordinates;
+              rewrites l in the current absolute coordinates;
             - plain: keep the stored bounds untouched (absolute
               coordinates stay valid with no per-iteration write — the
               old 'preserve' mode's (n, G) copy is now free); costs
@@ -558,13 +603,15 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
 
             def dpass_refresh():
                 def dbody(_, inp):
-                    xb, xsqb, vb, ab, ub = inp
-                    aid, u_new, l_new = exact_assign_bounds(xb, xsqb)
+                    xb, xsqb, vb, ab, ub, gab = inp
+                    aid, u_new, l_new, ga_new = exact_assign_bounds(
+                        xb, xsqb)
                     aid = jnp.where(vb, aid, jnp.uint32(k))
                     return None, (jnp.where(vb, aid, ab),
-                                  jnp.where(vb, u_new, ub),
+                                  jnp.where(vb, u_store(u_new, ga_new),
+                                            ub),
                                   lower_cast(l_new + C2[None, :]),
-                                  jnp.min(l_new, axis=1) + MG2)
+                                  jnp.where(vb, ga_new, gab))
 
                 _, outs = lax.scan(
                     dbody, None,
@@ -572,18 +619,21 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
                      x_sq.reshape(nchunks, chunk),
                      valid.reshape(nchunks, chunk),
                      assign.reshape(nchunks, chunk),
-                     u2.reshape(nchunks, chunk)))
+                     u_st.reshape(nchunks, chunk),
+                     ga2.reshape(nchunks, chunk)))
                 return (outs[0].reshape(nl), outs[1].reshape(nl),
                         outs[2].reshape(nl, g), outs[3].reshape(nl))
 
             def dpass_plain():
                 def dbody(_, inp):
-                    xb, xsqb, vb, ab, ub = inp
-                    aid, u_new, _lv = exact_assign_bounds(
+                    xb, xsqb, vb, ab, ub, gab = inp
+                    aid, u_new, _lv, ga_new = exact_assign_bounds(
                         xb, xsqb, with_l=False)
                     aid = jnp.where(vb, aid, jnp.uint32(k))
                     return None, (jnp.where(vb, aid, ab),
-                                  jnp.where(vb, u_new, ub))
+                                  jnp.where(vb, u_store(u_new, ga_new),
+                                            ub),
+                                  jnp.where(vb, ga_new, gab))
 
                 _, outs = lax.scan(
                     dbody, None,
@@ -591,19 +641,19 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
                      x_sq.reshape(nchunks, chunk),
                      valid.reshape(nchunks, chunk),
                      assign.reshape(nchunks, chunk),
-                     u2.reshape(nchunks, chunk)))
-                return (outs[0].reshape(nl), outs[1].reshape(nl),
-                        l, lminA)
+                     u_st.reshape(nchunks, chunk),
+                     ga2.reshape(nchunks, chunk)))
+                return (outs[0].reshape(nl), outs[1].reshape(nl), l,
+                        outs[2].reshape(nl))
 
-            a2, u4, l4, lminA3 = lax.cond(
+            a2, u4, l4, ga4 = lax.cond(
                 mode_refresh, dpass_refresh, dpass_plain)
-            return a2, u4, l4, lminA3, n_valid_local
+            return a2, u4, l4, ga4, n_valid_local
 
         # global (replicated) dense/compacted decision so every shard
-        # compiles and takes the same branch.  The level-0 count is
-        # computed before the branch (it is a cheap (n,)-elementwise
-        # pass), so the decision uses the CURRENT iteration's count — no
-        # regime lag.
+        # compiles and takes the same branch.  The global-filter count is
+        # computed before the branch (the phase-1 read-only pass), so the
+        # decision uses the CURRENT iteration's count — no regime lag.
         n_all = jnp.int32(nl)
         if axis_name is not None:
             n_all = lax.psum(n_all, axis_name)
@@ -626,29 +676,35 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
         # sparse-path lower-bound refresh trigger, directly
         # cost-justified: a refresh costs every passed row the panel
         # matmul (~1.2x the assignment matmul), while stale bounds cost
-        # one assignment-width local-filter row for every EXTRA
-        # candidate they admit.  Refresh once the candidate count has
-        # grown past YY_SPARSE_REFRESH_GROWTH times its level right
-        # after the previous refresh (cand_mark, recorded one iteration
-        # after each refresh — the first count computed against fresh
-        # bounds).  cand_mark starts at 0, so the first sparse iteration
-        # always refreshes.
+        # one assignment-width local-filter row for every EXTRA row
+        # they admit.  Refresh once EITHER the candidate count or the
+        # previous iteration's passed count (the rows that actually pay
+        # the local filter — erosion inflates it several times faster
+        # than candidacy, measured 704 -> 3246 over ten tail iterations
+        # on the 13K fixture) has grown past YY_SPARSE_REFRESH_GROWTH
+        # times its level right after the previous refresh (cand_mark /
+        # pass_mark, recorded one iteration after each refresh — the
+        # first counts computed against fresh bounds).  Both marks start
+        # at 0, so the first sparse iteration always refreshes.
+        grow_f = jnp.float32(config.YY_SPARSE_REFRESH_GROWTH)
         sparse_refresh = jnp.logical_not(use_dense) & ~ref_any_prev & (
-            n_cand_all.astype(jnp.float32)
-            > config.YY_SPARSE_REFRESH_GROWTH
-            * cand_mark.astype(jnp.float32))
+            (n_cand_all.astype(jnp.float32)
+             > grow_f * cand_mark.astype(jnp.float32))
+            | (prev_pa.astype(jnp.float32)
+               > grow_f * pass_mark.astype(jnp.float32)))
         if debug_mode != 0:  # triage modes must exercise every phase
             do_tighten = jnp.bool_(True)
             sparse_refresh = jnp.bool_(True)
-        assign2, u4, l4, lminA3, passed_n = lax.cond(
-            use_dense, dense_iter, sparse_iter, assign, u2, l, lminA,
+        assign2, u4, l4, ga4, passed_n = lax.cond(
+            use_dense, dense_iter, sparse_iter, assign, u, l, ga,
             (mode_refresh, do_tighten, sparse_refresh))
         refresh_in2 = jnp.where(
             ~use_dense, jnp.int32(0),
             jnp.where(mode_refresh, period_adj, refresh_in - 1))
         period2 = period_adj
-        # the first candidate count computed against fresh bounds (one
-        # iteration after any refresh) is the growth trigger's baseline
+        # the first counts computed against fresh bounds (one iteration
+        # after any refresh) are the growth trigger's baselines
+        # (pass_mark2 is set below once passed_n is mesh-global)
         cand_mark2 = jnp.where(ref_any_prev, n_cand_all, cand_mark)
         ref_any2 = sparse_refresh | mode_refresh
 
@@ -663,13 +719,13 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
         # regimes that skip refreshes) and give them fresh exact bounds.
         # The recomputed assignment is bitwise the one just stored
         # (argmin_rescored is batch-layout independent), so only
-        # (u, l, lminA) are written.
+        # (u, l) are written.
         moved = assign2 != assign
         n_moved = jnp.sum(moved, dtype=jnp.int32)
         skipped_refresh = jnp.where(
             use_dense, ~mode_refresh, ~sparse_refresh)
 
-        def patch_moved(u4, l4, lminA3):
+        def patch_moved(u4, l4):
             morder, nm = C.stable_partition(moved)
             order_p = pad_order(morder)
             n_act = (nm + schunk - 1) // schunk
@@ -678,27 +734,26 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
                 return c[0] < n_act
 
             def pbody(c):
-                i, u_full, l_full, lminA_full = c
+                i, u_full, l_full = c
                 base = i * schunk
                 idx = lax.dynamic_slice(order_p, (base,), (schunk,))
                 row_ok = (base + offs) < nm
-                _aid, u_new, l_new = exact_assign_bounds(x[idx], x_sq[idx])
+                _aid, u_new, l_new, ga_new = exact_assign_bounds(
+                    x[idx], x_sq[idx])
                 idx_ok = jnp.where(row_ok, idx, nl)
                 return (i + 1,
-                        u_full.at[idx_ok].set(u_new, mode="drop"),
+                        u_full.at[idx_ok].set(u_store(u_new, ga_new),
+                                              mode="drop"),
                         l_full.at[idx_ok].set(
-                            lower_cast(l_new + C2[None, :]), mode="drop"),
-                        lminA_full.at[idx_ok].set(
-                            jnp.min(l_new, axis=1) + MG2, mode="drop"))
+                            lower_cast(l_new + C2[None, :]), mode="drop"))
 
-            pinit = _mark_varying((jnp.int32(0), u4, l4, lminA3),
-                                  axis_name)
-            _i, u5, l5, lminA5 = lax.while_loop(pcond, pbody, pinit)
-            return u5, l5, lminA5
+            pinit = _mark_varying((jnp.int32(0), u4, l4), axis_name)
+            _i, u5, l5 = lax.while_loop(pcond, pbody, pinit)
+            return u5, l5
 
-        u4, l4, lminA3 = lax.cond(
+        u4, l4 = lax.cond(
             skipped_refresh, patch_moved,
-            lambda u, lv, lm: (u, lv, lm), u4, l4, lminA3)
+            lambda u_, lv: (u_, lv), u4, l4)
 
         def d_dense():
             return C.delta_dense(
@@ -738,42 +793,52 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
             jnp.where(tighten_ran, jnp.int32(1), tperiod))
         log_ch = log_ch.at[it].set(changed2)
         log_pa = log_pa.at[it].set(passed_n)
+        pass_mark2 = jnp.where(ref_any_prev, passed_n, pass_mark)
         log_ca = log_ca.at[it].set(n_cand_all)
         mark2, stale2 = _stagnation_update(changed2, bestch, stale)
-        return (c_new, assign2, u4, l4, lminA3,
+        return (c_new, assign2, u4, l4, ga4,
                 (sums + d_sums, counts + d_counts), it + 1, changed2,
                 log_ch, log_pa, log_ca,
                 (refresh_in2, period2, tskip_in2, tperiod2,
-                 cand_mark2, ref_any2, C2, MG2, mark2, stale2))
+                 cand_mark2, pass_mark2, passed_n, ref_any2, C2,
+                 mark2, stale2))
 
-    assign0, u0, l0, lminA0 = _mark_varying(
-        (assign0, u0, l0.astype(bounds_dtype), lminA0), axis_name)
-    init = (centroids0, assign0, u0, l0, lminA0, (sums0, counts0),
+    assign0, u0, l0, ga0 = _mark_varying(
+        (assign0, u0, l0.astype(bounds_dtype), ga0), axis_name)
+    init = (centroids0, assign0, u0, l0, ga0, (sums0, counts0),
             jnp.int32(0), limits[7],
             jnp.zeros((LOG_CAPACITY,), jnp.int32),
             jnp.zeros((LOG_CAPACITY,), jnp.int32),
             jnp.zeros((LOG_CAPACITY,), jnp.int32),
-            (jnp.int32(0), jnp.int32(1), jnp.int32(0), jnp.int32(1),
-             jnp.int32(0), jnp.bool_(False),
-             # the drift accumulators C (per group) and MG (global max)
-             # start at zero each segment: the stored l / lminA enter in
-             # drift-CURRENT coordinates and leave rebased below, so the
-             # resume state never carries unbounded accumulators
-             jnp.zeros((g,), jnp.float32), jnp.float32(0.0),
+            # the refresh/tighten backoff schedule resumes from the
+            # previous segment (limits[8:16]); the drift accumulator C
+            # (per group) starts at zero each segment: the stored l
+            # enters in drift-CURRENT coordinates and leaves rebased
+            # below, so the resume state never carries an unbounded
+            # accumulator
+            (limits[8], limits[9], limits[10], limits[11],
+             limits[12], limits[13], limits[14], limits[15] != 0,
+             jnp.zeros((g,), jnp.float32),
              limits[3], limits[4]))
-    (c_cur, assign, u_fin, l_fin, lminA_fin, (sums_fin, counts_fin), it,
+    (c_cur, assign, u_fin, l_fin, ga_fin, (sums_fin, counts_fin), it,
      _changed, log_ch, log_pa, log_ca, rb) = lax.while_loop(
         cond, body, init)
     # segment-exit rebase: fold the accumulated drift into the stored
-    # bounds so the returned (l, lminA) are plain drift-current values
-    # (what the bound-invariant tests check and what the next segment
-    # enters with C = MG = 0).  One (n, G) pass per SEGMENT, not per
-    # iteration; the downward margins keep the rebased values sound.
-    C_fin, MG_fin = rb[6], rb[7]
+    # bounds so the returned (u, l) are plain drift-current values (what
+    # the bound-invariant tests check and what the next segment enters
+    # with C = 0).  One (n, G)-class pass per SEGMENT, not per
+    # iteration; the margins keep the rebased values sound (u up, l
+    # down).
+    C_fin = rb[8]
     la = l_fin.astype(jnp.float32)
     l_out = lower_cast((la - C_fin[None, :])
                        - 2.4e-7 * (jnp.abs(la) + C_fin[None, :]))
-    lminA_out = ((lminA_fin - MG_fin)
-                 - 2.4e-7 * (jnp.abs(lminA_fin) + MG_fin))
-    return (c_cur, assign, it, log_ch, log_pa, log_ca, u_fin, l_out,
-            lminA_out, sums_fin, counts_fin, jnp.stack([rb[8], rb[9]]))
+    iota_go = lax.broadcasted_iota(jnp.int32, (1, groups), 1)
+    c2fin = jnp.sum(
+        jnp.where(ga_fin[:, None] == iota_go, C_fin[None, :], 0.0),
+        axis=1)
+    u_out = (u_fin + c2fin) + 2.4e-7 * (jnp.abs(u_fin) + c2fin)
+    sched = jnp.stack([rb[9], rb[10], rb[0], rb[1], rb[2], rb[3], rb[4],
+                       rb[5], rb[6], rb[7].astype(jnp.int32)])
+    return (c_cur, assign, it, log_ch, log_pa, log_ca, u_out, l_out,
+            ga_fin, sums_fin, counts_fin, sched)

@@ -94,13 +94,17 @@ def test_bound_invariants(tight):
                p.topo.put_sharded(jnp.zeros((p.n_pad,), jnp.float32)),
                p.topo.put_sharded(
                    jnp.zeros((p.n_pad, groups), jnp.float32)),
-               p.topo.put_sharded(jnp.zeros((p.n_pad,), jnp.float32)),
+               p.topo.put_sharded(jnp.zeros((p.n_pad,), jnp.int32)),
                # (tol, seg, patience, mark, stale, resume, sparse_ok,
-               # prev_changed): prev_changed = int32 max ("everything
-               # moved") is a valid fresh seed for the delta prediction
+               # prev_changed, refresh_in, period, tskip, tperiod,
+               # cand_mark, pass_mark, prev_passed, ref_any):
+               # prev_changed = int32 max ("everything moved") is a
+               # valid fresh seed for the delta prediction; the last
+               # eight are the fresh-start refresh/tighten schedule
                jnp.asarray([-1, 6, 50, np.iinfo(np.int32).max, 0, 0, 1,
-                            np.iinfo(np.int32).max], jnp.int32))
-    (c_fin, assign, _it2, _lch, _lpa, _lca, u_fin, l_fin, lminA_fin,
+                            np.iinfo(np.int32).max, 0, 1, 0, 1, 0, 0, 0,
+                            0], jnp.int32))
+    (c_fin, assign, _it2, _lch, _lpa, _lca, u_fin, l_fin, _ga_fin,
      _sums, _counts, _stag) = out
     c_fin = np.asarray(c_fin).astype(np.float64)
     assign = np.asarray(assign)[:n]
@@ -122,13 +126,6 @@ def test_bound_invariants(tight):
 
     dmask = d.copy()
     dmask[np.arange(n), assign] = np.inf
-    # the level-0 cache must lower-bound the distance to every centroid
-    # other than the assigned one (it is min over the per-group bounds)
-    lminA = np.asarray(lminA_fin)[:n]
-    minother_all = dmask.min(axis=1)
-    fin = np.isfinite(minother_all)
-    assert (lminA[fin] <= minother_all[fin] + 1e-4).all(), \
-        "lminA must lower-bound the min other-centroid distance"
     gof = np.asarray(group_of)
     for g_ in range(groups):
         cols = np.where(gof == g_)[0]
