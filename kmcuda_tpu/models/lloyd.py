@@ -187,6 +187,10 @@ def run_incremental(problem, centroids, assignments, tolerance,
             p.x, p.x_sq, p.valid, assignments, centroids, sums, counts,
             drv.limits(tol_count, drv.prev))
         it, log, stag = jax.device_get((it, log, stag))
+        # compile-warmth marker: lets the Yinyang draft treat its first
+        # segment through this executable as a valid Lloyd-floor
+        # measurement (models/yinyang.run)
+        run_fn.kmtpu_warm = True
         if not drv.absorb(it, log, stag):
             break
         centroids = c_next

@@ -253,7 +253,16 @@ def run(problem, centroids, assignments, tolerance, groups,
     counts = p.topo.put_replicated(jnp.zeros((p.k,), jnp.int32))
     drv = L._SegmentDriver(p.logger, draft_tol, max_iterations)
     lloyd_spi = None   # measured seconds/iteration of a warm Lloyd segment
-    warm = False
+    # compile-warmth rides on the cached executable (round 4): any earlier
+    # run through the same build key — a warmup call, a previous segment,
+    # a yinyang_t=0 run — makes the FIRST segment's wall a valid floor
+    # measurement.  Without it a draft that converges in one segment
+    # (typical: 11% churn is a few iterations from random init) left
+    # lloyd_spi unmeasured and the controller burned TWO probe segments
+    # (16 dense iterations) of ceremony before granting the sparse branch
+    # — measured as the whole Yinyang loss at 2M x 256 @ 1024, tol=1e-4
+    # (0.77x; candidates were 14% from iteration 4 on).
+    warm = getattr(lloyd_fn, "kmtpu_warm", False)
     c_used = c_next = centroids
     while True:
         t0 = time.perf_counter()
@@ -263,7 +272,7 @@ def run(problem, centroids, assignments, tolerance, groups,
         it, log, stag = jax.device_get((it, log, stag))
         if warm and it > 0:
             lloyd_spi = (time.perf_counter() - t0) / int(it)
-        warm = True
+        warm = lloyd_fn.kmtpu_warm = True
         if not drv.absorb(it, log, stag):
             break
         centroids = c_next
@@ -346,7 +355,10 @@ def run(problem, centroids, assignments, tolerance, groups,
         # (test-locked).
         sparse_ok = 0
     seg = config.YY_PROBE_ITERS if ctl else None   # None = full segments
-    yy_warm = False         # first call may pay the yy_run compile
+    # first call on a COLD executable pays the yy_run compile — never
+    # judge from it; a warm executable's first segment is already a
+    # valid measurement (see the draft-phase warmth note above)
+    yy_warm = getattr(run_fn, "kmtpu_warm", False)
     reprobe_after = config.YY_REPROBE_ITERS
     since_revoke = 0
     dense_frac = float(config.YY_DENSE_FRACTION) * p.n_pad
@@ -432,7 +444,7 @@ def run(problem, centroids, assignments, tolerance, groups,
                                         config.YY_REPROBE_ITERS_MAX)
                 else:
                     seg = grow
-        yy_warm = True
+        yy_warm = run_fn.kmtpu_warm = True
         resume = next_resume
     drv.finish()
     return c_fin, assignments, None, drv.done
