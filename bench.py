@@ -52,31 +52,33 @@ def bench_yy_deep_tail(jax, jnp, kmeans_tpu, extra):
     lives in: long runs at tolerance -> 0 where late iterations move
     almost nothing).
 
-    Fixture: 1M x 256 'contested' clustering — 384 latent blobs under
-    k=1024 plus 15% uniform background.  Chosen by a convergence-length
-    scan (round 4): well-separated blobs reach an exact fixed point in a
-    few dozen iterations (no tail to measure), uniform data is
-    filter-hostile by concentration of measure; contested centroids keep
-    a churn tail alive for ~150 iterations of genuinely clustered data.
+    Fixture: 2M x 256 'overlap' clustering — k latent blobs (spread 2.0,
+    noise 0.5 sigma, heavily merged) under k=1024.  Chosen by a round-4
+    fixture scan: well-separated blobs reach an exact fixed point in a
+    few dozen iterations (no tail to measure); uniform data and
+    background-contaminated blobs are filter-hostile by concentration of
+    measure (true near-boundary candidacy ~30%, which also makes the
+    candidate count oscillate around the dense-path threshold — the
+    previous 15%-background fixture recorded pure measurement noise);
+    merged blobs keep a genuine churn tail alive for ~60 iterations at
+    13-26% candidacy.
 
-    Method: converge 50 iterations once (also the compile warmup), then
-    restart BOTH algorithms from the converged centroids (init=import)
-    and take MARGINAL s/iteration between a long and a short measured
-    run — (wall_60 - wall_short) / (iters_60 - iters_short) — which
-    cancels the per-call fixed costs (prepare + init + dispatch) that
-    would otherwise swamp a tail iteration.  The short Yinyang run is 33
-    iterations: the smallest budget above YY_MIN_REMAINING, so both
-    measured calls run the real Yinyang machinery."""
-    n, f, k = (1_048_576, 256, 1024) if not SMOKE else (16_384, 32, 64)
-    nb = 384 if not SMOKE else 24
-    key = jax.random.key(23)
-    kc, kx, ke, kb = jax.random.split(key, 4)
-    centers = jax.random.uniform(kc, (nb, f), jnp.float32) * 4.0
-    which = jax.random.randint(kx, (n,), 0, nb)
-    x = centers[which] + 0.25 * jax.random.normal(ke, (n, f), jnp.float32)
-    bg = jax.random.uniform(kb, (n, f), jnp.float32) * 4.0
-    msk = jax.random.uniform(jax.random.fold_in(kb, 1), (n, 1)) < 0.15
-    x = jax.block_until_ready(jnp.where(msk, bg, x))
+    Method: converge 15 iterations once from random (also the compile
+    warmup), then restart BOTH algorithms from those centroids
+    (init=import) with the SAME 45-iteration budget and compare
+    whole-run walls (min over 3 trials each — the remote-tunnel
+    dispatch jitter is ~10%).  The ratio therefore charges Yinyang its
+    full freight: draft, grouping, bound init, controller probes.  The
+    marginal per-iteration ratio between the 45- and a 35-iteration
+    restart (both real Yinyang budgets, above YY_MIN_REMAINING) is
+    recorded alongside as the asymptotic tail rate."""
+    n, f, k = (2_000_000, 256, 1024) if not SMOKE else (16_384, 32, 64)
+    key = jax.random.key(3)
+    kc, kx, ke = jax.random.split(key, 3)
+    centers = jax.random.uniform(kc, (k, f), jnp.float32) * 2.0
+    which = jax.random.randint(kx, (n,), 0, k)
+    x = centers[which] + 0.5 * jax.random.normal(ke, (n, f), jnp.float32)
+    x = jax.block_until_ready(x)
 
     import io
     from contextlib import redirect_stdout
@@ -85,7 +87,7 @@ def bench_yy_deep_tail(jax, jnp, kmeans_tpu, extra):
         buf = io.StringIO()
         start = time.perf_counter()
         with redirect_stdout(buf):
-            c, _a = kmeans_tpu(x, k, init=init, seed=23, tolerance=0.0,
+            c, _a = kmeans_tpu(x, k, init=init, seed=3, tolerance=0.0,
                                yinyang_t=yy, max_iterations=iters,
                                verbosity=1)
         jax.block_until_ready(c)
@@ -94,21 +96,28 @@ def bench_yy_deep_tail(jax, jnp, kmeans_tpu, extra):
                    if l.startswith("iteration"))
         return c, wall, max(done, 1)
 
-    long_it, short_yy = (60, 33) if not SMOKE else (8, 5)
-    c_tail, _w, _i = run(0.1, "random", 50 if not SMOKE else 6)
+    def best3(yy, init, iters):
+        res = [run(yy, init, iters) for _ in range(3)]
+        return min(res, key=lambda r: r[1])
+
+    long_it, short_it = (45, 35) if not SMOKE else (8, 5)
+    c_tail, _w, _i = run(0.1, "random", 15 if not SMOKE else 4)
     c_tail = jax.block_until_ready(jax.numpy.asarray(c_tail))
-    run(0, c_tail, 2)              # warm the import-init Lloyd path
-    run(0.1, c_tail, short_yy)     # warm the import-init Yinyang path
-    _c, lw_l, li_l, = run(0, c_tail, long_it)
-    _c, lw_s, li_s = run(0, c_tail, 2)
-    _c, yw_l, yi_l = run(0.1, c_tail, long_it)
-    _c, yw_s, yi_s = run(0.1, c_tail, short_yy)
+    run(0, c_tail, long_it)        # warm the import-init Lloyd path
+    run(0.1, c_tail, long_it)      # warm the import-init Yinyang path
+    _c, lw_l, li_l = best3(0, c_tail, long_it)
+    _c, lw_s, li_s = best3(0, c_tail, short_it)
+    _c, yw_l, yi_l = best3(0.1, c_tail, long_it)
+    _c, yw_s, yi_s = best3(0.1, c_tail, short_it)
+    _emit({"metric": "yy_deep_tail_2mx256_k1024_restart_speedup",
+           "value": round(lw_l / yw_l, 3), "unit": "ratio",
+           "vs_baseline": None}, extra)
     if li_l > li_s and yi_l > yi_s:
         lspi = (lw_l - lw_s) / (li_l - li_s)
         yspi = (yw_l - yw_s) / (yi_l - yi_s)
     else:  # converged before the long budget: fall back to raw s/it
         lspi, yspi = lw_l / li_l, yw_l / yi_l
-    _emit({"metric": "yy_deep_tail_1mx256_k1024_per_iter_speedup",
+    _emit({"metric": "yy_deep_tail_2mx256_k1024_per_iter_speedup",
            "value": round(lspi / yspi, 3), "unit": "ratio",
            "vs_baseline": None}, extra)
     _emit({"metric": "yy_deep_tail_lloyd_s_per_iter",
@@ -440,7 +449,7 @@ def main():
     attempt("backend_init", _first_contact, jax, tries=1)
     lloyd_s = attempt("kmeans_lloyd_100kx256_k1024_15iter_wall",
                       bench_100k, jax, jnp, kmeans_tpu, extra)
-    attempt("yy_deep_tail_1mx256_k1024_per_iter_speedup",
+    attempt("yy_deep_tail_2mx256_k1024_restart_speedup",
             bench_yy_deep_tail, jax, jnp, kmeans_tpu, extra)
     attempt("spherical_afkmc2_1mx256_k1024_wall",
             bench_spherical, jax, jnp, kmeans_tpu, extra)

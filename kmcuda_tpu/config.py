@@ -194,15 +194,23 @@ YY_DENSE_FRACTION = 0.35
 #: upside arrives up to this many iterations late.
 YY_REFRESH_BACKOFF_MAX = 64
 
-#: Sparse-path lower-bound refresh trigger: refresh (panel matmul for
-#: every passed row, ~1.2x the assignment matmul) once the candidate
-#: count exceeds this multiple of its level right after the previous
-#: refresh.  Stale bounds admit extra candidates at one assignment-width
-#: local-filter row each, so the growth factor trades refresh cost
-#: against admitted-extra cost; ~2 balances them at the measured 1.2x
-#: panel/assign cost ratio.  Wall time only, never results (the patch
-#: walk keeps skipped-refresh iterations' bound semantics sound).
-YY_SPARSE_REFRESH_GROWTH = 2.0
+#: Sparse-path lower-bound refresh trigger (ski-rental form, round 4):
+#: a refresh ADDS the group-minima panel matmul (~this multiple of one
+#: assignment-width row) to every row passing the local filter that
+#: iteration, while stale bounds admit extra candidates at one
+#: assignment-width row EACH, EVERY iteration.  The device loop
+#: accumulates the extra-candidate count since the last refresh
+#: (n_cand - cand_fresh, summed) and refreshes once the accumulated
+#: cost matches the surcharge (this constant x the previous passed
+#: count) — the classic rent-vs-buy crossover, so the trigger
+#: self-tunes to the measured erosion rate instead of assuming a
+#: growth shape (the previous factor-2 growth trigger let candidates
+#: double before refreshing: measured 265K -> 516K over ~25 tail
+#: iterations at 2M x 256 @ 1024, ~4 ms/iteration of avoidable
+#: local-filter work vs ~0.5 ms/iteration of refresh).  Wall time
+#: only, never results (the patch walk keeps skipped-refresh
+#: iterations' bound semantics sound).
+YY_SPARSE_REFRESH_SURCHARGE = 1.2
 
 #: A sparse-path tighten row (rowwise exact own-centroid distance) costs
 #: about a third of a local-filter row (full score + panel matmuls), so

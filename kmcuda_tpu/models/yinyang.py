@@ -365,7 +365,7 @@ def run(problem, centroids, assignments, tolerance, groups,
     # refresh/tighten backoff schedule, round-tripped through the device
     # loop so segment boundaries never reset it (a reset forced a full
     # (n, G) refresh every few iterations — the round-4 sawtooth):
-    # (refresh_in, period, tskip, tperiod, cand_mark, pass_mark,
+    # (refresh_in, period, tskip, tperiod, cand_mark, acc_extra,
     # prev_passed, ref_any)
     sched = (0, 1, 0, 1, 0, 0, 0, 0)
     while True:
@@ -398,7 +398,12 @@ def run(problem, centroids, assignments, tolerance, groups,
             # dense threshold and permission was granted
             frac_sparse = float(
                 np.mean(np.asarray(log_ca[:it]) <= dense_frac))
-            grow = min((seg or config.LOOP_SEGMENT_ITERATIONS) * 2,
+            # 4x growth: every segment boundary costs one host dispatch
+            # round trip (~30 ms over the tunnel) — a 2x ladder from an
+            # 8-iteration probe spends 4+ boundaries reaching full
+            # segments, ~2 ms/iteration of pure dispatch on a 60-iteration
+            # tail whose sparse iterations are themselves ~10 ms
+            grow = min((seg or config.LOOP_SEGMENT_ITERATIONS) * 4,
                        config.LOOP_SEGMENT_ITERATIONS)
             if not yy_warm:
                 seg = config.YY_PROBE_ITERS   # judge from the warm call on

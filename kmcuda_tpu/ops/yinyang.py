@@ -128,7 +128,7 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
                first-iteration refresh); resume: the returned value.
     limits:    int32[16] = (tol_count, max_iterations, patience, mark0,
                stale0, resume, sparse_ok, prev_changed0, refresh_in0,
-               period0, tskip0, tperiod0, cand_mark0, pass_mark0,
+               period0, tskip0, tperiod0, cand_mark0, acc_extra0,
                prev_passed0, ref_any0) packed in one array (single
                transfer per segment call);
                (mark0, stale0) resume the stagnation counters across
@@ -149,7 +149,7 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
     Returns (centroids_used, assign, iterations, changed_log, passed_log,
     cand_log, u, l, ga, sums, counts, sched) — ``sched`` is the int32[10]
     (mark, stale, refresh_in, period, tskip, tperiod, cand_mark,
-    pass_mark, prev_passed, ref_any) schedule state to feed the next
+    acc_extra, prev_passed, ref_any) schedule state to feed the next
     segment's limits tail.
     """
     tol_count, max_iterations = limits[0], limits[1]
@@ -218,7 +218,7 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
     def body(carry):
         (c_cur, assign, u, l, ga, sc, it, prev_changed, log_ch,
          log_pa, log_ca, (refresh_in, period, tskip_in, tperiod,
-                          cand_mark, pass_mark, prev_pa, ref_any_prev,
+                          cand_mark, acc_ex, prev_pa, ref_any_prev,
                           accC, bestch, stale)) = carry
         sums, counts = sc
         first = (it == 0) & jnp.logical_not(resume)
@@ -548,8 +548,12 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
                 # assignment-width work only: passed rows keep their
                 # stored lower bounds (sound — absolute coordinates stay
                 # valid forever), u and the assignment are rewritten
-                # exactly
-                (i, assign_full, u_full, ga_full) = carry
+                # exactly.  l rides the carry UNTOUCHED so this branch's
+                # return is a while output like the refresh branch's —
+                # a branch passing the cond operand straight through
+                # forced XLA to COPY the (n, G) array every iteration
+                # (profiled ~1.6 ms at 2M x 102 fp32 on v5e)
+                (i, assign_full, u_full, l_th, ga_full) = carry
                 base = i * schunk
                 idx = lax.dynamic_slice(order2, (base,), (schunk,))
                 row_ok = (base + offs) < n_passed
@@ -560,6 +564,7 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
                         assign_full.at[idx_ok].set(aid, mode="drop"),
                         u_full.at[idx_ok].set(u_store(u_new, ga_new),
                                               mode="drop"),
+                        l_th,
                         ga_full.at[idx_ok].set(ga_new, mode="drop"))
 
             def lf_refresh():
@@ -571,10 +576,10 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
 
             def lf_keep():
                 linit = _mark_varying(
-                    (jnp.int32(0), assign, u3, ga2), axis_name)
-                _i2, a2, u4, ga4 = lax.while_loop(
+                    (jnp.int32(0), assign, u3, l, ga2), axis_name)
+                _i2, a2, u4, l4, ga4 = lax.while_loop(
                     lcond, lbody_keep_l, linit)
-                return a2, u4, l, ga4
+                return a2, u4, l4, ga4
 
             assign2, u4, l4, ga4 = lax.cond(l_refresh, lf_refresh, lf_keep)
             return assign2, u4, l4, ga4, passed_n
@@ -625,25 +630,27 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
                         outs[2].reshape(nl, g), outs[3].reshape(nl))
 
             def dpass_plain():
-                def dbody(_, inp):
+                # l rides the scan carry UNTOUCHED (same copy-elision
+                # rationale as lbody_keep_l)
+                def dbody(l_th, inp):
                     xb, xsqb, vb, ab, ub, gab = inp
                     aid, u_new, _lv, ga_new = exact_assign_bounds(
                         xb, xsqb, with_l=False)
                     aid = jnp.where(vb, aid, jnp.uint32(k))
-                    return None, (jnp.where(vb, aid, ab),
+                    return l_th, (jnp.where(vb, aid, ab),
                                   jnp.where(vb, u_store(u_new, ga_new),
                                             ub),
                                   jnp.where(vb, ga_new, gab))
 
-                _, outs = lax.scan(
-                    dbody, None,
+                l_out, outs = lax.scan(
+                    dbody, l,
                     (x.reshape(nchunks, chunk, f),
                      x_sq.reshape(nchunks, chunk),
                      valid.reshape(nchunks, chunk),
                      assign.reshape(nchunks, chunk),
                      u_st.reshape(nchunks, chunk),
                      ga2.reshape(nchunks, chunk)))
-                return (outs[0].reshape(nl), outs[1].reshape(nl), l,
+                return (outs[0].reshape(nl), outs[1].reshape(nl), l_out,
                         outs[2].reshape(nl))
 
             a2, u4, l4, ga4 = lax.cond(
@@ -673,25 +680,29 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
             jnp.where(ref_any_prev, jnp.int32(1), period))
         mode_refresh = use_dense & (refresh_in <= 0) & ~ref_any_prev
         do_tighten = tskip_in <= 0
-        # sparse-path lower-bound refresh trigger, directly
-        # cost-justified: a refresh costs every passed row the panel
-        # matmul (~1.2x the assignment matmul), while stale bounds cost
-        # one assignment-width local-filter row for every EXTRA row
-        # they admit.  Refresh once EITHER the candidate count or the
-        # previous iteration's passed count (the rows that actually pay
-        # the local filter — erosion inflates it several times faster
-        # than candidacy, measured 704 -> 3246 over ten tail iterations
-        # on the 13K fixture) has grown past YY_SPARSE_REFRESH_GROWTH
-        # times its level right after the previous refresh (cand_mark /
-        # pass_mark, recorded one iteration after each refresh — the
-        # first counts computed against fresh bounds).  Both marks start
-        # at 0, so the first sparse iteration always refreshes.
-        grow_f = jnp.float32(config.YY_SPARSE_REFRESH_GROWTH)
+        # sparse-path lower-bound refresh trigger, ski-rental form
+        # (round 4, see config.YY_SPARSE_REFRESH_SURCHARGE): stale
+        # bounds admit EXTRA candidates — one assignment-width
+        # local-filter row each, every iteration — while a refresh adds
+        # the panel matmul (~1.2x an assignment row) to every row
+        # passing the local filter once.  Accumulate the extra-row cost
+        # since the bounds were last fresh (n_cand - cand_mark, the
+        # count right after the previous refresh) and refresh at the
+        # rent-vs-buy crossover.  cand_mark == 0 (fresh start / marks
+        # never taken) always refreshes.
+        surch = jnp.float32(config.YY_SPARSE_REFRESH_SURCHARGE)
+        acc_now = acc_ex + jnp.maximum(n_cand_all - cand_mark,
+                                       jnp.int32(0))
+        # the surcharge base is the passed count the refresh would pay
+        # for: the previous iteration's, capped by the current candidate
+        # count (passed <= candidates; after a DENSE iteration prev_pa
+        # is the full n, which would smother the trigger for ~n/extra
+        # iterations)
+        surch_base = jnp.minimum(prev_pa, n_cand_all)
         sparse_refresh = jnp.logical_not(use_dense) & ~ref_any_prev & (
-            (n_cand_all.astype(jnp.float32)
-             > grow_f * cand_mark.astype(jnp.float32))
-            | (prev_pa.astype(jnp.float32)
-               > grow_f * pass_mark.astype(jnp.float32)))
+            (cand_mark == 0)
+            | (acc_now.astype(jnp.float32)
+               >= surch * surch_base.astype(jnp.float32)))
         if debug_mode != 0:  # triage modes must exercise every phase
             do_tighten = jnp.bool_(True)
             sparse_refresh = jnp.bool_(True)
@@ -702,11 +713,12 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
             ~use_dense, jnp.int32(0),
             jnp.where(mode_refresh, period_adj, refresh_in - 1))
         period2 = period_adj
-        # the first counts computed against fresh bounds (one iteration
-        # after any refresh) are the growth trigger's baselines
-        # (pass_mark2 is set below once passed_n is mesh-global)
+        # the first count computed against fresh bounds (one iteration
+        # after any refresh) is the accumulator's baseline
         cand_mark2 = jnp.where(ref_any_prev, n_cand_all, cand_mark)
         ref_any2 = sparse_refresh | mode_refresh
+        acc_ex2 = jnp.where(ref_any_prev | ref_any2, jnp.int32(0),
+                            acc_now)
 
         # ---- bound patch for refresh-skipping iterations -----------------
         # l[g] excludes the ASSIGNED centroid from its own group
@@ -722,13 +734,26 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
         # (u, l) are written.
         moved = assign2 != assign
         n_moved = jnp.sum(moved, dtype=jnp.int32)
+        # ONE partition of the moved set, shared by the bound patch and
+        # the compacted delta update below — each stable_partition is a
+        # full (n,)-keyed device sort (~1.6 ms at 1M on v5e, profiled as
+        # a top-5 sparse-iteration cost)
+        morder, nm = C.stable_partition(moved)
         skipped_refresh = jnp.where(
             use_dense, ~mode_refresh, ~sparse_refresh)
 
         def patch_moved(u4, l4):
-            morder, nm = C.stable_partition(moved)
             order_p = pad_order(morder)
-            n_act = (nm + schunk - 1) // schunk
+            # zero trips when the refresh already wrote fresh bounds for
+            # every row (the walk would rewrite bitwise-identical values:
+            # exact_assign_bounds is batch-layout independent).  Gating
+            # the TRIP COUNT instead of lax.cond-wrapping the walk keeps
+            # (u, l) flowing through one while_loop in both cases — a
+            # cond whose other branch passes the operands through forced
+            # XLA to COPY the (n, G) l array every iteration (profiled
+            # ~1.6 ms at 2M x 102 fp32 on v5e)
+            n_act = jnp.where(skipped_refresh,
+                              (nm + schunk - 1) // schunk, jnp.int32(0))
 
             def pcond(c):
                 return c[0] < n_act
@@ -751,9 +776,7 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
             _i, u5, l5 = lax.while_loop(pcond, pbody, pinit)
             return u5, l5
 
-        u4, l4 = lax.cond(
-            skipped_refresh, patch_moved,
-            lambda u_, lv: (u_, lv), u4, l4)
+        u4, l4 = patch_moved(u4, l4)
 
         def d_dense():
             return C.delta_dense(
@@ -761,7 +784,6 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
                 axis_name=axis_name)
 
         def d_sparse():
-            morder, nm = C.stable_partition(moved)
             return C.delta_compacted(
                 x, assign2, assign, morder, nm, n_clusters=k, chunk=chunk,
                 axis_name=axis_name)
@@ -793,14 +815,13 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
             jnp.where(tighten_ran, jnp.int32(1), tperiod))
         log_ch = log_ch.at[it].set(changed2)
         log_pa = log_pa.at[it].set(passed_n)
-        pass_mark2 = jnp.where(ref_any_prev, passed_n, pass_mark)
         log_ca = log_ca.at[it].set(n_cand_all)
         mark2, stale2 = _stagnation_update(changed2, bestch, stale)
         return (c_new, assign2, u4, l4, ga4,
                 (sums + d_sums, counts + d_counts), it + 1, changed2,
                 log_ch, log_pa, log_ca,
                 (refresh_in2, period2, tskip_in2, tperiod2,
-                 cand_mark2, pass_mark2, passed_n, ref_any2, C2,
+                 cand_mark2, acc_ex2, passed_n, ref_any2, C2,
                  mark2, stale2))
 
     assign0, u0, l0, ga0 = _mark_varying(

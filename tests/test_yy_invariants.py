@@ -97,7 +97,7 @@ def test_bound_invariants(tight):
                p.topo.put_sharded(jnp.zeros((p.n_pad,), jnp.int32)),
                # (tol, seg, patience, mark, stale, resume, sparse_ok,
                # prev_changed, refresh_in, period, tskip, tperiod,
-               # cand_mark, pass_mark, prev_passed, ref_any):
+               # cand_mark, acc_extra, prev_passed, ref_any):
                # prev_changed = int32 max ("everything moved") is a
                # valid fresh seed for the delta prediction; the last
                # eight are the fresh-start refresh/tighten schedule
