@@ -140,24 +140,24 @@ def _group_centroids(problem, centroids, groups, key):
         raise AssertionError(
             "yinyang flat slot ids (%d) exceed fp32 exact-integer range"
             % (groups * cap))
-    sizes = np.zeros(groups, dtype=np.int64)
-    members: list[list[int]] = [[] for _ in range(groups)]
-    # first pass: keep everyone whose group has room (ascending index for
-    # determinism); overflow queued
-    overflow = []
-    for c in range(k):
-        g = group_of[c]
-        if g >= groups:
-            continue
-        if sizes[g] < cap:
-            members[g].append(c)
-            sizes[g] += 1
-        else:
-            overflow.append(c)
+    # first pass, vectorized: each group keeps its first `cap` members in
+    # ascending centroid index (the determinism contract the bf16 golden
+    # depends on); the rest queue for rehoming.  Rank-within-group comes
+    # from a stable argsort, so this is O(k log k) numpy instead of an
+    # O(k) interpreted loop — grouping stays off the profile at k >= 1M.
+    vidx = np.flatnonzero(group_of < groups)  # ascending c; NaN rows out
+    gv = group_of[vidx]
+    order = np.argsort(gv, kind="stable")
+    sg = gv[order]
+    starts = np.searchsorted(sg, np.arange(groups))
+    rank = np.arange(len(sg), dtype=np.int64) - starts[sg]
+    over = rank >= cap
+    sizes = np.minimum(np.bincount(gv, minlength=groups), cap)
+    # overflow in ascending centroid index, matching the sequential scan
+    overflow = np.sort(vidx[order[over]])
     for c in overflow:
         for g in prefs[c]:
             if sizes[g] < cap:
-                members[g].append(c)
                 sizes[g] += 1
                 group_of[c] = g
                 break
@@ -165,7 +165,6 @@ def _group_centroids(problem, centroids, groups, key):
             # every preferred group full (rare): any group with room —
             # grouping only affects speed, never results
             g = int(np.argmin(sizes))
-            members[g].append(c)
             sizes[g] += 1
             group_of[c] = g
 
@@ -173,14 +172,20 @@ def _group_centroids(problem, centroids, groups, key):
     pad_pen = np.full((groups, cap), config.PAD_PENALTY, dtype=np.float32)
     # flat panel slot of each centroid (g * cap + j), for the own-slot
     # exclusion in the local filter; the k-th entry (invalid marker) is
-    # never read for a row whose bounds matter
+    # never read for a row whose bounds matter.  Slot order within a
+    # group is ascending centroid index, derived from the final group_of
+    # (every group fits in cap: total valid <= k < groups * cap).
     flat_slot = np.zeros((k + 1,), dtype=np.int32)
-    for g in range(groups):
-        ms = sorted(members[g])
-        pad_src[g, :len(ms)] = ms
-        pad_pen[g, :len(ms)] = 0.0
-        for j, c in enumerate(ms):
-            flat_slot[c] = g * cap + j
+    vidx = np.flatnonzero(group_of < groups)
+    gv = group_of[vidx]
+    order = np.argsort(gv, kind="stable")
+    sg = gv[order]
+    starts = np.searchsorted(sg, np.arange(groups))
+    rank = np.arange(len(sg), dtype=np.int64) - starts[sg]
+    cids = vidx[order]
+    pad_src[sg, rank] = cids
+    pad_pen[sg, rank] = 0.0
+    flat_slot[cids] = sg * cap + rank
     return group_of.astype(np.int32), flat_slot, pad_src, pad_pen, cap
 
 
