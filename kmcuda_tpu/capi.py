@@ -120,3 +120,145 @@ def knn_from_pointers(k, metric, samples_size, features_size, clusters_size,
 
             traceback.print_exc()
         return _result_of(exc)
+
+
+# ---------------------------------------------------------------------------
+# Device-handle protocol — the TPU-native analog of the reference's raw
+# device-pointer protocol (python.cc:232-313, kmcuda.cc:96-102).  TPU HBM
+# is not client-addressable, so device residency crosses the C ABI as
+# opaque int64 handles into this process-wide registry of jax.Arrays.
+# A C caller uploads samples once, runs kmeans_device -> knn_device on the
+# handles, and fetches only the final result: nothing round-trips through
+# host memory between stages, which is exactly what kmcuda's
+# device_ptrs >= 0 path buys its GPU callers.
+
+_handles: dict = {}
+_next_handle = 1  # 0 is the invalid handle
+
+
+def _register(arr) -> int:
+    global _next_handle
+    h = _next_handle
+    _next_handle += 1
+    _handles[h] = arr
+    return h
+
+
+def upload_from_pointer(ptr, rows, cols, fp16x2):
+    """Copy a host float matrix to the device.  Returns (code, handle)."""
+    try:
+        _platform_setup()
+        import jax.numpy as jnp
+
+        dtype = np.float16 if fp16x2 else np.float32
+        f_real = int(cols) * 2 if fp16x2 else int(cols)
+        host = _as_array(ptr, (int(rows), f_real), dtype)
+        return int(KMTPUResult.SUCCESS), _register(jnp.asarray(host))
+    except Exception as exc:  # noqa: BLE001
+        if int(os.environ.get("KMTPU_CAPI_DEBUG", "0")):
+            import traceback
+
+            traceback.print_exc()
+        return _result_of(exc), 0
+
+
+def handle_shape(handle):
+    """Returns (code, rows, cols, itemsize) of a device handle."""
+    arr = _handles.get(int(handle))
+    if arr is None:
+        return int(KMTPUResult.INVALID_ARGUMENTS), 0, 0, 0
+    rows = int(arr.shape[0]) if arr.ndim >= 1 else 1
+    cols = int(arr.shape[1]) if arr.ndim >= 2 else 1
+    return (int(KMTPUResult.SUCCESS), rows, cols,
+            int(np.dtype(arr.dtype).itemsize))
+
+
+def fetch_to_pointer(handle, ptr, dst_size):
+    """Device -> host copy of a handle's array.  Returns code."""
+    try:
+        arr = _handles.get(int(handle))
+        if arr is None:
+            return int(KMTPUResult.INVALID_ARGUMENTS)
+        host = np.asarray(arr)  # the one D2H of the pipeline
+        if host.nbytes > int(dst_size):
+            return int(KMTPUResult.INVALID_ARGUMENTS)
+        dst = (ctypes.c_char * host.nbytes).from_address(int(ptr))
+        np.frombuffer(dst, dtype=host.dtype).reshape(host.shape)[...] = host
+        return int(KMTPUResult.SUCCESS)
+    except Exception as exc:  # noqa: BLE001
+        return _result_of(exc)
+
+
+def release_handle(handle):
+    """Drop a handle; the device buffer frees when jax drops it. Returns
+    code (INVALID_ARGUMENTS for an unknown/already-released handle)."""
+    return (int(KMTPUResult.SUCCESS)
+            if _handles.pop(int(handle), None) is not None
+            else int(KMTPUResult.INVALID_ARGUMENTS))
+
+
+def kmeans_from_handles(init, afkmc2_m, tolerance, yinyang_t, metric,
+                        clusters_size, seed, device, verbosity,
+                        samples_handle, import_handle, want_average):
+    """Device-resident k-means.  Returns (code, centroids_handle,
+    assignments_handle, average_distance)."""
+    try:
+        _platform_setup()
+        from kmcuda_tpu import kmeans_tpu
+        from kmcuda_tpu.models.initialization import InitMethod
+
+        samples = _handles.get(int(samples_handle))
+        if samples is None:
+            return int(KMTPUResult.INVALID_ARGUMENTS), 0, 0, 0.0
+
+        method = InitMethod(init)
+        if method == InitMethod.IMPORT:
+            init_arg = _handles.get(int(import_handle))
+            if init_arg is None:
+                return int(KMTPUResult.INVALID_ARGUMENTS), 0, 0, 0.0
+        elif method == InitMethod.AFKMC2:
+            init_arg = ("afkmc2", int(afkmc2_m))
+        elif method == InitMethod.PLUS_PLUS:
+            init_arg = "k-means++"
+        else:
+            init_arg = "random"
+
+        res = kmeans_tpu(
+            samples, int(clusters_size), tolerance=float(tolerance),
+            init=init_arg, yinyang_t=float(yinyang_t), metric=int(metric),
+            average_distance=bool(want_average), seed=int(seed),
+            device=int(device), verbosity=int(verbosity))
+        avg = float(res[2]) if want_average else 0.0
+        return (int(KMTPUResult.SUCCESS), _register(res[0]),
+                _register(res[1]), avg)
+    except Exception as exc:  # noqa: BLE001
+        if int(os.environ.get("KMTPU_CAPI_DEBUG", "0")):
+            import traceback
+
+            traceback.print_exc()
+        return _result_of(exc), 0, 0, 0.0
+
+
+def knn_from_handles(k, metric, device, verbosity, samples_handle,
+                     centroids_handle, assignments_handle):
+    """Device-resident k-nn.  Returns (code, neighbors_handle)."""
+    try:
+        _platform_setup()
+        from kmcuda_tpu import knn_tpu
+
+        samples = _handles.get(int(samples_handle))
+        centroids = _handles.get(int(centroids_handle))
+        assignments = _handles.get(int(assignments_handle))
+        if samples is None or centroids is None or assignments is None:
+            return int(KMTPUResult.INVALID_ARGUMENTS), 0
+
+        nbr = knn_tpu(int(k), samples, centroids, assignments,
+                      metric=int(metric), device=int(device),
+                      verbosity=int(verbosity))
+        return int(KMTPUResult.SUCCESS), _register(nbr)
+    except Exception as exc:  # noqa: BLE001
+        if int(os.environ.get("KMTPU_CAPI_DEBUG", "0")):
+            import traceback
+
+            traceback.print_exc()
+        return _result_of(exc), 0

@@ -146,6 +146,188 @@ KMTPUResult kmtpu_knn(
   return static_cast<KMTPUResult>(code);
 }
 
+/* ---- device-handle protocol (see kmtpu.h) ------------------------- */
+
+KMTPUResult kmtpu_upload(const void *data, uint32_t rows, uint32_t cols,
+                         int32_t fp16x2, KMTPUHandle *handle) {
+  if (data == nullptr || handle == nullptr || rows == 0 || cols == 0) {
+    return kmtpuInvalidArguments;
+  }
+  if (!ensure_python()) {
+    return kmtpuRuntimeError;
+  }
+  GilGuard gil;
+  PyObject *res = PyObject_CallMethod(
+      g_capi, "upload_from_pointer", "KIIi",
+      reinterpret_cast<unsigned long long>(data), rows, cols,
+      static_cast<int>(fp16x2));
+  if (res == nullptr) {
+    PyErr_Print();
+    return kmtpuRuntimeError;
+  }
+  int code = 0;
+  long long h = 0;
+  if (!PyArg_ParseTuple(res, "iL", &code, &h)) {
+    Py_DECREF(res);
+    PyErr_Print();
+    return kmtpuRuntimeError;
+  }
+  Py_DECREF(res);
+  if (code == 0) {
+    *handle = static_cast<KMTPUHandle>(h);
+  }
+  return static_cast<KMTPUResult>(code);
+}
+
+KMTPUResult kmtpu_handle_shape(KMTPUHandle handle, uint32_t *rows,
+                               uint32_t *cols, uint32_t *itemsize) {
+  if (!ensure_python()) {
+    return kmtpuRuntimeError;
+  }
+  GilGuard gil;
+  PyObject *res = PyObject_CallMethod(g_capi, "handle_shape", "L",
+                                      static_cast<long long>(handle));
+  if (res == nullptr) {
+    PyErr_Print();
+    return kmtpuRuntimeError;
+  }
+  int code = 0;
+  unsigned int r = 0, c = 0, isz = 0;
+  if (!PyArg_ParseTuple(res, "iIII", &code, &r, &c, &isz)) {
+    Py_DECREF(res);
+    PyErr_Print();
+    return kmtpuRuntimeError;
+  }
+  Py_DECREF(res);
+  if (code == 0) {
+    if (rows != nullptr) *rows = r;
+    if (cols != nullptr) *cols = c;
+    if (itemsize != nullptr) *itemsize = isz;
+  }
+  return static_cast<KMTPUResult>(code);
+}
+
+KMTPUResult kmtpu_fetch(KMTPUHandle handle, void *dst, uint64_t dst_size) {
+  if (dst == nullptr) {
+    return kmtpuInvalidArguments;
+  }
+  if (!ensure_python()) {
+    return kmtpuRuntimeError;
+  }
+  GilGuard gil;
+  PyObject *res = PyObject_CallMethod(
+      g_capi, "fetch_to_pointer", "LKK", static_cast<long long>(handle),
+      reinterpret_cast<unsigned long long>(dst),
+      static_cast<unsigned long long>(dst_size));
+  if (res == nullptr) {
+    PyErr_Print();
+    return kmtpuRuntimeError;
+  }
+  long code = PyLong_AsLong(res);
+  Py_DECREF(res);
+  return static_cast<KMTPUResult>(code);
+}
+
+KMTPUResult kmtpu_release(KMTPUHandle handle) {
+  if (!ensure_python()) {
+    return kmtpuRuntimeError;
+  }
+  GilGuard gil;
+  PyObject *res = PyObject_CallMethod(g_capi, "release_handle", "L",
+                                      static_cast<long long>(handle));
+  if (res == nullptr) {
+    PyErr_Print();
+    return kmtpuRuntimeError;
+  }
+  long code = PyLong_AsLong(res);
+  Py_DECREF(res);
+  return static_cast<KMTPUResult>(code);
+}
+
+KMTPUResult kmtpu_kmeans_device(
+    KMTPUInitMethod init, const void *init_params, float tolerance,
+    float yinyang_t, KMTPUDistanceMetric metric, uint32_t clusters_size,
+    uint32_t seed, uint32_t device, int32_t verbosity,
+    KMTPUHandle samples, KMTPUHandle import_centroids,
+    KMTPUHandle *centroids, KMTPUHandle *assignments,
+    float *average_distance) {
+  if (centroids == nullptr || assignments == nullptr || samples == 0) {
+    return kmtpuInvalidArguments;
+  }
+  if (!ensure_python()) {
+    return kmtpuRuntimeError;
+  }
+  GilGuard gil;
+  uint32_t m = 0;
+  if (init == kmtpuInitMethodAFKMC2 && init_params != nullptr) {
+    m = *reinterpret_cast<const uint32_t *>(init_params);
+  }
+  PyObject *res = PyObject_CallMethod(
+      g_capi, "kmeans_from_handles", "IIffIIIIiLLi",
+      static_cast<unsigned int>(init), static_cast<unsigned int>(m),
+      static_cast<double>(tolerance), static_cast<double>(yinyang_t),
+      static_cast<unsigned int>(metric), clusters_size, seed, device,
+      static_cast<int>(verbosity), static_cast<long long>(samples),
+      static_cast<long long>(import_centroids),
+      average_distance != nullptr ? 1 : 0);
+  if (res == nullptr) {
+    PyErr_Print();
+    return kmtpuRuntimeError;
+  }
+  int code = 0;
+  long long hc = 0, ha = 0;
+  double avg = 0.0;
+  if (!PyArg_ParseTuple(res, "iLLd", &code, &hc, &ha, &avg)) {
+    Py_DECREF(res);
+    PyErr_Print();
+    return kmtpuRuntimeError;
+  }
+  Py_DECREF(res);
+  if (code == 0) {
+    *centroids = static_cast<KMTPUHandle>(hc);
+    *assignments = static_cast<KMTPUHandle>(ha);
+    if (average_distance != nullptr) {
+      *average_distance = static_cast<float>(avg);
+    }
+  }
+  return static_cast<KMTPUResult>(code);
+}
+
+KMTPUResult kmtpu_knn_device(
+    uint16_t k, KMTPUDistanceMetric metric, uint32_t device,
+    int32_t verbosity, KMTPUHandle samples, KMTPUHandle centroids,
+    KMTPUHandle assignments, KMTPUHandle *neighbors) {
+  if (neighbors == nullptr) {
+    return kmtpuInvalidArguments;
+  }
+  if (!ensure_python()) {
+    return kmtpuRuntimeError;
+  }
+  GilGuard gil;
+  PyObject *res = PyObject_CallMethod(
+      g_capi, "knn_from_handles", "IIIiLLL",
+      static_cast<unsigned int>(k), static_cast<unsigned int>(metric),
+      device, static_cast<int>(verbosity), static_cast<long long>(samples),
+      static_cast<long long>(centroids),
+      static_cast<long long>(assignments));
+  if (res == nullptr) {
+    PyErr_Print();
+    return kmtpuRuntimeError;
+  }
+  int code = 0;
+  long long hn = 0;
+  if (!PyArg_ParseTuple(res, "iL", &code, &hn)) {
+    Py_DECREF(res);
+    PyErr_Print();
+    return kmtpuRuntimeError;
+  }
+  Py_DECREF(res);
+  if (code == 0) {
+    *neighbors = static_cast<KMTPUHandle>(hn);
+  }
+  return static_cast<KMTPUResult>(code);
+}
+
 /* kmcuda-compatible aliases */
 KMTPUResult kmeans_cuda(
     KMTPUInitMethod init, const void *init_params, float tolerance,

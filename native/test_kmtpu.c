@@ -96,6 +96,92 @@ int main(void) {
     }
   }
 
+  /* device-handle pipeline: upload once, kmeans -> knn on handles with
+   * no host round-trip, fetch, and require bit-identical results to the
+   * host-pointer path above (same data, same seed, same code). */
+  {
+    static uint32_t assignments2[N];
+    static uint32_t neighbors2[N * NN];
+    KMTPUHandle hs = 0, hc = 0, ha = 0, hn = 0;
+    uint32_t rows = 0, cols = 0, isz = 0;
+    float avg2 = -1.0f;
+
+    r = kmtpu_upload(samples, N, F, 0, &hs);
+    if (r != kmtpuSuccess || hs == 0) {
+      fprintf(stderr, "kmtpu_upload failed: %d\n", (int)r);
+      return 1;
+    }
+    r = kmtpu_kmeans_device(kmtpuInitMethodPlusPlus, NULL, 0.01f, 0.0f,
+                            kmtpuDistanceMetricL2, K, 77, 0, 0, hs, 0,
+                            &hc, &ha, &avg2);
+    if (r != kmtpuSuccess || hc == 0 || ha == 0) {
+      fprintf(stderr, "kmtpu_kmeans_device failed: %d\n", (int)r);
+      return 1;
+    }
+    if (fabsf(avg2 - average_distance) > 1e-6f) {
+      fprintf(stderr, "device avg %f != host avg %f\n", avg2,
+              average_distance);
+      return 1;
+    }
+    r = kmtpu_knn_device(NN, kmtpuDistanceMetricL2, 0, 0, hs, hc, ha, &hn);
+    if (r != kmtpuSuccess || hn == 0) {
+      fprintf(stderr, "kmtpu_knn_device failed: %d\n", (int)r);
+      return 1;
+    }
+    r = kmtpu_handle_shape(hn, &rows, &cols, &isz);
+    if (r != kmtpuSuccess || rows != N || cols != NN || isz != 4) {
+      fprintf(stderr, "bad neighbors shape %u x %u x %u\n", rows, cols,
+              isz);
+      return 1;
+    }
+    /* a short fetch buffer must be rejected, not overrun */
+    r = kmtpu_fetch(hn, neighbors2, (uint64_t)N * NN * 4 - 1);
+    if (r != kmtpuInvalidArguments) {
+      fprintf(stderr, "short fetch not rejected: %d\n", (int)r);
+      return 1;
+    }
+    r = kmtpu_fetch(ha, assignments2, (uint64_t)N * 4);
+    if (r != kmtpuSuccess) {
+      fprintf(stderr, "fetch(assignments) failed: %d\n", (int)r);
+      return 1;
+    }
+    r = kmtpu_fetch(hn, neighbors2, (uint64_t)N * NN * 4);
+    if (r != kmtpuSuccess) {
+      fprintf(stderr, "fetch(neighbors) failed: %d\n", (int)r);
+      return 1;
+    }
+    for (uint32_t i = 0; i < N; i++) {
+      if (assignments2[i] != assignments[i]) {
+        fprintf(stderr, "device assignment mismatch at %u\n", i);
+        return 1;
+      }
+    }
+    for (uint32_t i = 0; i < N * NN; i++) {
+      if (neighbors2[i] != neighbors[i]) {
+        fprintf(stderr, "device neighbor mismatch at %u\n", i);
+        return 1;
+      }
+    }
+    if (kmtpu_release(hs) != kmtpuSuccess ||
+        kmtpu_release(hc) != kmtpuSuccess ||
+        kmtpu_release(ha) != kmtpuSuccess ||
+        kmtpu_release(hn) != kmtpuSuccess) {
+      fprintf(stderr, "kmtpu_release failed\n");
+      return 1;
+    }
+    /* double release and stale use must report, not crash */
+    if (kmtpu_release(hn) != kmtpuInvalidArguments) {
+      fprintf(stderr, "double release not rejected\n");
+      return 1;
+    }
+    r = kmtpu_knn_device(NN, kmtpuDistanceMetricL2, 0, 0, hs, hc, ha, &hn);
+    if (r != kmtpuInvalidArguments) {
+      fprintf(stderr, "stale handle use not rejected: %d\n", (int)r);
+      return 1;
+    }
+    printf("KMTPU_DEVICE_PIPELINE_OK\n");
+  }
+
   printf("KMTPU_SMOKE_OK\n");
   return 0;
 }

@@ -30,5 +30,7 @@ def test_c_abi_smoke(tmp_path_factory):
         capture_output=True, text=True)
     assert out.returncode == 0, (out.stdout, out.stderr)
     assert "KMTPU_SMOKE_OK" in out.stdout
+    # device-handle protocol (kmtpu_upload/kmeans_device/knn_device/fetch)
+    assert "KMTPU_DEVICE_PIPELINE_OK" in out.stdout
     # the reference logs this progress metric (knn.cu:521-530)
     assert "calculated " in out.stdout
