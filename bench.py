@@ -149,12 +149,19 @@ def bench_100k(jax, jnp, kmeans_tpu, extra):
 
     run(0)  # warmup compile
     run(0.1)
-    # min over alternating trials: the remote-tunnel dispatch jitter is
+    # min over INTERLEAVED trials: the remote-tunnel dispatch jitter is
     # ~10% between back-to-back identical runs, far above the real
-    # lloyd-vs-yinyang delta; the per-config minimum is the standard
-    # noise-floor estimator
-    lloyd_s = min(timed(0) for _ in range(3))
-    yy_s = min(timed(0.1) for _ in range(3))
+    # lloyd-vs-yinyang delta, and it drifts on a seconds timescale — two
+    # separate blocks of trials would hand whichever config ran in the
+    # quieter window a spurious win (r4: blocked 3+3 recorded ratios
+    # 0.95-1.02 across identical-code runs).  Pairing each lloyd trial
+    # with an adjacent yinyang trial decorrelates the drift; the
+    # per-config minimum is the standard noise-floor estimator.
+    lloyd_t, yy_t = [], []
+    for _ in range(5):
+        lloyd_t.append(timed(0))
+        yy_t.append(timed(0.1))
+    lloyd_s, yy_s = min(lloyd_t), min(yy_t)
 
     _emit({"metric": "kmeans_yinyang_100kx256_k1024_15iter_wall",
            "value": round(yy_s, 4), "unit": "s",
@@ -214,15 +221,20 @@ def bench_spherical(jax, jnp, kmeans_tpu, extra):
         "print(json.dumps({'wall': time.perf_counter() - t0}))\n"
         % ((n, f, k)))
     try:
-        out = subprocess.run(
-            [sys.executable, "-c", code], capture_output=True, text=True,
-            timeout=900, env=os.environ.copy(),
-            cwd=os.path.dirname(os.path.abspath(__file__)))
-        line = [l for l in out.stdout.splitlines()
-                if l.startswith("{")][-1]
-        cached_cold = float(json.loads(line)["wall"])
+        # best of two fresh processes: a single sample conflates cache
+        # effectiveness with transient tunnel degradation (r4: one run
+        # recorded 111 s where the steady state is ~7 s)
+        walls = []
+        for _ in range(2):
+            out = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True,
+                text=True, timeout=900, env=os.environ.copy(),
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            line = [l for l in out.stdout.splitlines()
+                    if l.startswith("{")][-1]
+            walls.append(float(json.loads(line)["wall"]))
         _emit({"metric": "spherical_afkmc2_second_process_cold_cached",
-               "value": round(cached_cold, 3), "unit": "s",
+               "value": round(min(walls), 3), "unit": "s",
                "vs_baseline": None}, extra)
     except Exception as e:  # cache miss/unsupported backend: record why
         print(json.dumps({"metric": "spherical_afkmc2_second_process_cold"
