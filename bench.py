@@ -115,6 +115,11 @@ def bench_yy_deep_tail(jax, jnp, kmeans_tpu, extra):
     if li_l > li_s and yi_l > yi_s:
         lspi = (lw_l - lw_s) / (li_l - li_s)
         yspi = (yw_l - yw_s) / (yi_l - yi_s)
+        if lspi <= 0 or yspi <= 0:
+            # dispatch jitter exceeded the 10-iteration wall delta (tiny
+            # smoke shapes): the difference estimator is meaningless,
+            # fall back to raw s/it rather than record a negative rate
+            lspi, yspi = lw_l / li_l, yw_l / yi_l
     else:  # converged before the long budget: fall back to raw s/it
         lspi, yspi = lw_l / li_l, yw_l / yi_l
     _emit({"metric": "yy_deep_tail_2mx256_k1024_per_iter_speedup",
@@ -199,12 +204,33 @@ def bench_spherical(jax, jnp, kmeans_tpu, extra):
            "value": round(cold_s, 3), "unit": "s",
            "vs_baseline": None}, extra)
 
-    # second-process cold start (VERDICT r3 weak #5): this process just
-    # populated the persistent compilation cache (KMTPU_COMPILE_CACHE is
-    # exported by main()), so a fresh process running the same config
-    # should pay backend init + cache loads instead of the full XLA
-    # compile.  The subprocess times exactly the kmeans_tpu call.
+    return x
+
+
+def bench_second_process(jax, extra):
+    """Second-process cold start with a populated compilation cache
+    (VERDICT r3 weak #5): bench_spherical already compiled this config in
+    this process, so a fresh process running it again should pay backend
+    init + cache loads instead of the full XLA compile.  The subprocess
+    times exactly the kmeans_tpu call.
+
+    MUST run as the LAST stage: the axon tunnel serializes concurrent
+    clients so brutally that a subprocess sharing the chip with this
+    (idle) parent measures contention, not the cache — 66 s for a smoke
+    kmeans that takes 1.6 s solo, measured r4.  clear_backends() hands
+    the chip back before spawning; every live jax.Array in this process
+    dies with the client, so no stage may follow this one."""
+    n, f, k = (1_000_000, 256, 1024) if not SMOKE else (16_384, 32, 64)
     import subprocess
+    try:
+        import jax.extend.backend as jexb
+
+        jexb.clear_backends()
+    except Exception as e:
+        print(json.dumps({"metric": "spherical_afkmc2_second_process_cold"
+                          "_cached", "error": "clear_backends: "
+                          + str(e)[:160]}), flush=True)
+        return
     code = (
         "import os, time, json\n"
         "import jax, jax.numpy as jnp\n"
@@ -239,7 +265,6 @@ def bench_spherical(jax, jnp, kmeans_tpu, extra):
     except Exception as e:  # cache miss/unsupported backend: record why
         print(json.dumps({"metric": "spherical_afkmc2_second_process_cold"
                           "_cached", "error": str(e)[:200]}), flush=True)
-    return x
 
 
 def bench_knn(jax, jnp, kmeans_tpu, knn_tpu, extra):
@@ -469,6 +494,10 @@ def main():
             bench_knn, jax, jnp, kmeans_tpu, knn_tpu, extra)
     attempt("kmeans_8mx256_k1024_bf16_tol1pct_wall",
             bench_8m_bf16, jax, jnp, kmeans_tpu, extra)
+    # LAST: releases this process's backend client (clear_backends) so
+    # the fresh process measures the compile cache, not chip contention
+    attempt("spherical_afkmc2_second_process_cold_cached",
+            bench_second_process, jax, extra, tries=1)
 
     if failed:
         extra["failed"] = failed
