@@ -34,3 +34,60 @@ def test_c_abi_smoke(tmp_path_factory):
     assert "KMTPU_DEVICE_PIPELINE_OK" in out.stdout
     # the reference logs this progress metric (knn.cu:521-530)
     assert "calculated " in out.stdout
+
+
+def test_device_handle_registry_python_level():
+    """The handle protocol's Python half (kmcuda_tpu.capi) without the
+    native build: upload -> kmeans -> knn on handles, fetch, shape,
+    release, stale-handle and short-buffer rejection.  Mirrors what the
+    C smoke binary asserts so the protocol stays covered where cmake is
+    unavailable."""
+    import ctypes
+
+    import numpy as np
+
+    from kmcuda_tpu import capi, kmeans_tpu, knn_tpu
+    from kmcuda_tpu.utils.errors import KMTPUResult
+
+    rng = np.random.RandomState(11)
+    n, f, k, kn = 4096, 8, 16, 5
+    x = np.ascontiguousarray(
+        rng.rand(n, f).astype(np.float32)
+        + np.repeat(np.arange(4) * 8.0, n // 4)[:, None])
+
+    code, hs = capi.upload_from_pointer(
+        x.ctypes.data_as(ctypes.c_void_p).value, n, f, 0)
+    assert code == int(KMTPUResult.SUCCESS) and hs > 0
+
+    code, hc, ha, avg = capi.kmeans_from_handles(
+        1, 0, 0.01, 0.0, 0, k, 77, 0, 0, hs, 0, 1)  # ++ init, L2, avg
+    assert code == int(KMTPUResult.SUCCESS) and hc > 0 and ha > 0
+    assert avg > 0.0
+
+    code, rows, cols, isz = capi.handle_shape(ha)
+    assert (code, rows, isz) == (int(KMTPUResult.SUCCESS), n, 4)
+
+    code, hn = capi.knn_from_handles(kn, 0, 0, 0, hs, hc, ha)
+    assert code == int(KMTPUResult.SUCCESS) and hn > 0
+    code, rows, cols, isz = capi.handle_shape(hn)
+    assert (code, rows, cols, isz) == (int(KMTPUResult.SUCCESS), n, kn, 4)
+
+    nbr = np.zeros((n, kn), np.uint32)
+    ptr = nbr.ctypes.data_as(ctypes.c_void_p).value
+    # short buffer rejected without writing
+    assert capi.fetch_to_pointer(hn, ptr, nbr.nbytes - 1) == \
+        int(KMTPUResult.INVALID_ARGUMENTS)
+    assert capi.fetch_to_pointer(hn, ptr, nbr.nbytes) == \
+        int(KMTPUResult.SUCCESS)
+
+    # the handle pipeline must agree with the direct Python API
+    c_ref, a_ref = kmeans_tpu(x, k, init="k-means++", seed=77,
+                              tolerance=0.01, yinyang_t=0)
+    nbr_ref = np.asarray(knn_tpu(kn, x, c_ref, a_ref))
+    np.testing.assert_array_equal(nbr, nbr_ref)
+
+    for h in (hs, hc, ha, hn):
+        assert capi.release_handle(h) == int(KMTPUResult.SUCCESS)
+    assert capi.release_handle(hn) == int(KMTPUResult.INVALID_ARGUMENTS)
+    code, _hn2 = capi.knn_from_handles(kn, 0, 0, 0, hs, hc, ha)
+    assert code == int(KMTPUResult.INVALID_ARGUMENTS)
