@@ -145,7 +145,15 @@ def _register(arr) -> int:
 
 
 def upload_from_pointer(ptr, rows, cols, fp16x2):
-    """Copy a host float matrix to the device.  Returns (code, handle)."""
+    """Copy a host float matrix to the device.  Returns (code, handle).
+
+    Ownership contract (matches the reference's explicit-copy semantics,
+    kmcuda.cc:146-168 / wrappers.h:16-21): the handle NEVER aliases the
+    caller's memory — the caller may free or reuse its buffer immediately
+    after this returns.  jnp.asarray alone is not enough: on the CPU
+    backend it zero-copy borrows suitably aligned host buffers, so we
+    snapshot into an owned ndarray first and hand jax a buffer whose only
+    reference jax itself holds."""
     try:
         _platform_setup()
         import jax.numpy as jnp
@@ -153,7 +161,9 @@ def upload_from_pointer(ptr, rows, cols, fp16x2):
         dtype = np.float16 if fp16x2 else np.float32
         f_real = int(cols) * 2 if fp16x2 else int(cols)
         host = _as_array(ptr, (int(rows), f_real), dtype)
-        return int(KMTPUResult.SUCCESS), _register(jnp.asarray(host))
+        owned = np.array(host, copy=True)
+        del host
+        return int(KMTPUResult.SUCCESS), _register(jnp.asarray(owned))
     except Exception as exc:  # noqa: BLE001
         if int(os.environ.get("KMTPU_CAPI_DEBUG", "0")):
             import traceback

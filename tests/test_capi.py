@@ -51,9 +51,13 @@ def test_device_handle_registry_python_level():
 
     rng = np.random.RandomState(11)
     n, f, k, kn = 4096, 8, 16, 5
+    # build in float32 from the start: the pointer below is typed float32,
+    # so any float64 promotion here would feed reinterpreted garbage bytes
     x = np.ascontiguousarray(
         rng.rand(n, f).astype(np.float32)
-        + np.repeat(np.arange(4) * 8.0, n // 4)[:, None])
+        + np.repeat(np.arange(4, dtype=np.float32) * 8.0,
+                    n // 4)[:, None].astype(np.float32))
+    assert x.dtype == np.float32
 
     code, hs = capi.upload_from_pointer(
         x.ctypes.data_as(ctypes.c_void_p).value, n, f, 0)
@@ -91,3 +95,45 @@ def test_device_handle_registry_python_level():
     assert capi.release_handle(hn) == int(KMTPUResult.INVALID_ARGUMENTS)
     code, _hn2 = capi.knn_from_handles(kn, 0, 0, 0, hs, hc, ha)
     assert code == int(KMTPUResult.INVALID_ARGUMENTS)
+
+
+def test_upload_owns_its_copy():
+    """kmtpu_upload must deep-copy the caller's buffer, never borrow it —
+    the caller is entitled to free/reuse its memory right after upload
+    (the reference always cudaMemcpy's on this path, kmcuda.cc:146-168;
+    adoption is a separate deliberate non-owning flag, wrappers.h:16-21).
+    jax's CPU backend zero-copy borrows 64-byte-aligned host buffers, so
+    allocate an aligned buffer on purpose and prove the handle does not
+    see mutations through the caller's pointer."""
+    import ctypes
+
+    import numpy as np
+
+    from kmcuda_tpu import capi
+    from kmcuda_tpu.utils.errors import KMTPUResult
+
+    n, f = 256, 32
+    nbytes = n * f * 4
+    # 64-byte-aligned allocation: over-allocate and slice to the boundary
+    raw = np.zeros(nbytes + 64, np.uint8)
+    addr = raw.ctypes.data_as(ctypes.c_void_p).value
+    off = (-addr) % 64
+    buf = raw[off:off + nbytes].view(np.float32).reshape(n, f)
+    assert buf.ctypes.data_as(ctypes.c_void_p).value % 64 == 0
+    rng = np.random.RandomState(3)
+    buf[...] = rng.rand(n, f).astype(np.float32)
+    snapshot = buf.copy()
+
+    code, h = capi.upload_from_pointer(
+        buf.ctypes.data_as(ctypes.c_void_p).value, n, f, 0)
+    assert code == int(KMTPUResult.SUCCESS) and h > 0
+
+    # caller scribbles over (and conceptually frees) its buffer
+    buf[...] = -1.0
+
+    got = np.zeros_like(snapshot)
+    assert capi.fetch_to_pointer(
+        h, got.ctypes.data_as(ctypes.c_void_p).value, got.nbytes) == \
+        int(KMTPUResult.SUCCESS)
+    np.testing.assert_array_equal(got, snapshot)
+    assert capi.release_handle(h) == int(KMTPUResult.SUCCESS)
