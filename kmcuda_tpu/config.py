@@ -37,6 +37,17 @@ YINYANG_MIN_TOLERANCE = 0.11
 #: Default AFK-MC2 Markov chain length (kmcuda.cc:338-345).
 AFKMC2_DEFAULT_M = 200
 
+#: Centroids per init-loop dispatch for the segmented k-means++/AFK-MC2
+#: drivers (models/initialization._drive_segments).  The reference prints
+#: progress bars through its O(k) host init loops (kmcuda.cc:286-290,
+#: 368-371); a single silent fori_loop at k >= 1024 gives a watchdog no
+#: way to tell compute from hang.  Bounded segments of this many
+#: centroids restore the progress signal (verbosity 1: one line per
+#: segment) at the cost of k/256 extra async dispatches; results are
+#: bitwise independent of the segmentation (carried key stream,
+#: golden-locked).
+INIT_SEGMENT_CENTROIDS = 256
+
 #: Safety cap on Lloyd/Yinyang iterations.  The reference iterates until the
 #: tolerance is met with no cap; a cap guards tolerance=0 runs on adversarial
 #: data where Lloyd cycles.

@@ -71,48 +71,106 @@ def _init_random(x, valid, n_valid, key, *, k):
     return x[idx].astype(jnp.float32)
 
 
+def _draw_block_size(n: int) -> int:
+    """Static inner-block length for the two-level weighted draw: the
+    largest power of two <= 4096 dividing n (1 = single-level)."""
+    bs = 1
+    cand = 4096
+    while cand >= 2:
+        if n % cand == 0 and n // cand >= 2:
+            bs = cand
+            break
+        cand //= 2
+    return bs
+
+
+def _weighted_draw(weights, kd):
+    """Index ~ Categorical(weights) by two-level inverse CDF.
+
+    The reference samples its k-means++ draws by a host prefix scan over
+    the full distance array (kmcuda.cc:301-333); a device cumsum over all
+    n is the direct port but costs a full-array scan pass PER CENTROID
+    (measured 1.9 ms/step of the 7.5 ms k-means++ step at 8M — the
+    second-largest init cost after the unavoidable distance matvec).
+    Two-level: block sums -> tiny cumsum picks the block -> one-block
+    cumsum picks the row.  Exact inverse-CDF at both levels (the same
+    clamp-at-the-end degenerate behavior as the flat form); only fp
+    summation order differs, so the drawn STREAM differs from the flat
+    form while the distribution is identical."""
+    n = weights.shape[0]
+    bs = _draw_block_size(n)
+    if bs == 1:
+        cum = jnp.cumsum(weights)
+        u = random.uniform(kd) * cum[-1]
+        return jnp.minimum(jnp.searchsorted(cum, u, side="right"), n - 1)
+    nb = n // bs
+    m2 = weights.reshape(nb, bs)
+    cumb = jnp.cumsum(jnp.sum(m2, axis=1))
+    u = random.uniform(kd) * cumb[-1]
+    j = jnp.minimum(jnp.searchsorted(cumb, u, side="right"), nb - 1)
+    resid = u - jnp.where(j > 0, cumb[jnp.maximum(j - 1, 0)],
+                          jnp.float32(0.0))
+    cumr = jnp.cumsum(lax.dynamic_slice(m2, (j, 0), (1, bs))[0])
+    i = jnp.minimum(jnp.searchsorted(cumr, resid, side="right"), bs - 1)
+    return j * bs + i
+
+
+def _pp_body(x, x_sq, valid, metric):
+    """One k-means++ step (shared by the whole-loop and segmented forms so
+    both run the identical op sequence — the bitwise contract)."""
+
+    def body(i, carry):
+        cent, mindist, key = carry
+        key, kd = random.split(key)
+        idx = _weighted_draw(mindist, kd)
+        c = x[idx].astype(jnp.float32)
+        cent = cent.at[i].set(c)
+        d = jnp.where(valid, D.point_distances(x, x_sq, c, metric), 0.0)
+        return cent, jnp.minimum(mindist, d), key
+
+    return body
+
+
 @functools.partial(jax.jit, static_argnames=("k", "metric"))
-def _init_plus_plus(x, x_sq, valid, n_valid, key, *, k, metric):
+def _pp_start(x, x_sq, valid, n_valid, key, *, k, metric):
+    """First-centroid prologue; returns the (cent, mindist, key) carry the
+    step body iterates."""
     n, f = x.shape
     key, k0 = random.split(key)
     idx0 = random.choice(k0, n, p=_valid_probs(valid, n_valid))
     c0 = x[idx0].astype(jnp.float32)
     cent = jnp.zeros((k, f), jnp.float32).at[0].set(c0)
     mindist = jnp.where(valid, D.point_distances(x, x_sq, c0, metric), 0.0)
+    return cent, mindist, key
 
-    def body(i, carry):
-        cent, mindist, key = carry
-        key, kd = random.split(key)
-        # weighted draw ~ mindist: uniform in [0, sum) + inverse CDF — the
-        # on-device form of the reference's host prefix-scan sampling
-        # (kmcuda.cc:301-333).
-        cum = jnp.cumsum(mindist)
-        u = random.uniform(kd) * cum[-1]
-        idx = jnp.minimum(jnp.searchsorted(cum, u, side="right"), n - 1)
-        c = x[idx].astype(jnp.float32)
-        cent = cent.at[i].set(c)
-        d = jnp.where(valid, D.point_distances(x, x_sq, c, metric), 0.0)
-        return cent, jnp.minimum(mindist, d), key
 
-    cent, _, _ = lax.fori_loop(1, k, body, (cent, mindist, key))
+@functools.partial(jax.jit, static_argnames=("steps", "metric"))
+def _pp_segment(x, x_sq, valid, cent, mindist, key, start, *,
+                steps: int, metric):
+    """``steps`` k-means++ draws starting at centroid index ``start``
+    (traced, so one compile serves every boundary).  Chaining segments
+    replays the exact step sequence of the single fori_loop — same key
+    splits, same index arithmetic — so results are bitwise independent of
+    the segmentation (the same carried-state contract as the convergence
+    loops' _SegmentDriver)."""
+    body = _pp_body(x, x_sq, valid, metric)
+    return lax.fori_loop(
+        0, steps, lambda j, c: body(start + j, c), (cent, mindist, key))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric"))
+def _init_plus_plus(x, x_sq, valid, n_valid, key, *, k, metric):
+    cent, mindist, key = _pp_start(x, x_sq, valid, n_valid, key,
+                                   k=k, metric=metric)
+    cent, _, _ = lax.fori_loop(1, k, _pp_body(x, x_sq, valid, metric),
+                               (cent, mindist, key))
     return cent
 
 
-@functools.partial(jax.jit, static_argnames=("k", "m", "metric"))
-def _init_afkmc2(x, x_sq, valid, n_valid, key, *, k, m, metric):
-    n, f = x.shape
-    key, k0 = random.split(key)
-    idx0 = random.choice(k0, n, p=_valid_probs(valid, n_valid))
-    c0 = x[idx0].astype(jnp.float32)
-    cent = jnp.zeros((k, f), jnp.float32).at[0].set(c0)
-
-    d0 = jnp.where(valid, D.point_distances(x, x_sq, c0, metric), 0.0)
-    d0_sq = d0 * d0
-    # q[i] = d^2/(2 sum d^2) + 1/(2N) (kmeans.cu:96-105); mass restricted to
-    # valid rows so a NaN sample can never be drawn.
-    q = d0_sq / (2.0 * jnp.sum(d0_sq)) + jnp.where(
-        valid, 0.5 / n_valid.astype(jnp.float32), 0.0)
-    q = q / jnp.sum(q)
+def _mc2_body(x, x_sq, q, k, m, metric):
+    """One AFK-MC2 Markov-chain step (shared by the whole-loop and
+    segmented forms — see _pp_body)."""
+    n = x.shape[0]
     ids = lax.broadcasted_iota(jnp.int32, (k, 1), 0)[:, 0]
 
     def body(i, carry):
@@ -145,8 +203,75 @@ def _init_afkmc2(x, x_sq, valid, n_valid, key, *, k, m, metric):
         cent = cent.at[i].set(x[best_idx].astype(jnp.float32))
         return cent, key
 
-    cent, _ = lax.fori_loop(1, k, body, (cent, key))
+    return body
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric"))
+def _mc2_start(x, x_sq, valid, n_valid, key, *, k, metric):
+    """First centroid + the q proposal distribution (kmeans.cu:96-105)."""
+    n, f = x.shape
+    key, k0 = random.split(key)
+    idx0 = random.choice(k0, n, p=_valid_probs(valid, n_valid))
+    c0 = x[idx0].astype(jnp.float32)
+    cent = jnp.zeros((k, f), jnp.float32).at[0].set(c0)
+
+    d0 = jnp.where(valid, D.point_distances(x, x_sq, c0, metric), 0.0)
+    d0_sq = d0 * d0
+    # q[i] = d^2/(2 sum d^2) + 1/(2N) (kmeans.cu:96-105); mass restricted to
+    # valid rows so a NaN sample can never be drawn.
+    q = d0_sq / (2.0 * jnp.sum(d0_sq)) + jnp.where(
+        valid, 0.5 / n_valid.astype(jnp.float32), 0.0)
+    q = q / jnp.sum(q)
+    return cent, key, q
+
+
+@functools.partial(jax.jit, static_argnames=("k", "m", "steps", "metric"))
+def _mc2_segment(x, x_sq, q, cent, key, start, *, k, m, steps: int, metric):
+    """``steps`` AFK-MC2 chain steps from centroid index ``start``
+    (traced) — bitwise equal to the corresponding slice of the single
+    fori_loop (see _pp_segment)."""
+    body = _mc2_body(x, x_sq, q, k, m, metric)
+    return lax.fori_loop(0, steps, lambda j, c: body(start + j, c),
+                         (cent, key))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "m", "metric"))
+def _init_afkmc2(x, x_sq, valid, n_valid, key, *, k, m, metric):
+    cent, key, q = _mc2_start(x, x_sq, valid, n_valid, key, k=k,
+                              metric=metric)
+    cent, _ = lax.fori_loop(1, k, _mc2_body(x, x_sq, q, k, m, metric),
+                            (cent, key))
     return cent
+
+
+def _drive_segments(log, k: int, label: str, carry, seg_fn):
+    """Host driver for a segmented O(k) init loop: bounded device
+    dispatches of config.INIT_SEGMENT_CENTROIDS steps each, with a
+    verbosity-1 progress line per segment — the analog of the reference's
+    init progress bars (kmcuda.cc:286-290, 368-371).  A watchdog-minded
+    caller can now distinguish a long init from a hang (the same reason
+    the convergence loops are segmented, see models/lloyd._SegmentDriver).
+
+    The carried state makes the chained segments replay the single
+    fori_loop's op/key sequence exactly, so results are bitwise
+    independent of the segmentation (golden-locked).
+
+    At verbosity 0 the segments are dispatched without any host sync
+    (progress would not be printed anyway), keeping the device pipeline
+    full; at verbosity >= 1 each line is printed only after the segment's
+    carry materializes, so lines reflect real device progress."""
+    seg = config.INIT_SEGMENT_CENTROIDS
+    done = 1
+    while done < k:
+        steps = min(seg, k - done)
+        carry = seg_fn(carry, jnp.int32(done), steps)
+        done += steps
+        if log.verbosity > 0:
+            # the key is the smallest carry leaf: one tiny readback is the
+            # progress barrier
+            jax.device_get(carry[-1])
+            log.info("%s: %d / %d centroids" % (label, done, k))
+    return carry[0]
 
 
 def init_centroids(problem, method: InitMethod, key,
@@ -163,13 +288,23 @@ def init_centroids(problem, method: InitMethod, key,
                 "imported centroids must have shape (%d, %d), got %s"
                 % (p.k, p.features, (arr.shape,)))
         return p.topo.put_replicated(jnp.asarray(arr, jnp.float32))
+    segmented = p.k > config.INIT_SEGMENT_CENTROIDS
     if method == InitMethod.RANDOM:
         log.info("performing random centroid initialization...")
         cent = _init_random(p.x, p.valid, jnp.int32(p.n_valid), key, k=p.k)
     elif method == InitMethod.PLUS_PLUS:
         log.info("performing kmeans++...")
-        cent = _init_plus_plus(p.x, p.x_sq, p.valid, jnp.int32(p.n_valid),
-                               key, k=p.k, metric=p.metric)
+        if segmented:
+            carry = _pp_start(p.x, p.x_sq, p.valid, jnp.int32(p.n_valid),
+                              key, k=p.k, metric=p.metric)
+            cent = _drive_segments(
+                log, p.k, "kmeans++", carry,
+                lambda c, s, n: _pp_segment(p.x, p.x_sq, p.valid, *c, s,
+                                            steps=n, metric=p.metric))
+        else:
+            cent = _init_plus_plus(p.x, p.x_sq, p.valid,
+                                   jnp.int32(p.n_valid), key, k=p.k,
+                                   metric=p.metric)
     elif method == InitMethod.AFKMC2:
         m = afkmc2_m
         if m == 0:
@@ -179,8 +314,17 @@ def init_centroids(problem, method: InitMethod, key,
             raise KMTPUInvalidArguments(
                 "afkmc2: m > %d is not supported (got %d)" % (p.n // 2, m))
         log.info("performing afkmc2 (m = %d)..." % m)
-        cent = _init_afkmc2(p.x, p.x_sq, p.valid, jnp.int32(p.n_valid),
-                            key, k=p.k, m=m, metric=p.metric)
+        if segmented:
+            cent0, key2, q = _mc2_start(p.x, p.x_sq, p.valid,
+                                        jnp.int32(p.n_valid), key, k=p.k,
+                                        metric=p.metric)
+            cent = _drive_segments(
+                log, p.k, "afkmc2", (cent0, key2),
+                lambda c, s, n: _mc2_segment(p.x, p.x_sq, q, *c, s, k=p.k,
+                                             m=m, steps=n, metric=p.metric))
+        else:
+            cent = _init_afkmc2(p.x, p.x_sq, p.valid, jnp.int32(p.n_valid),
+                                key, k=p.k, m=m, metric=p.metric)
     else:
         raise KMTPUInvalidArguments("unknown init method %r" % (method,))
     return p.topo.put_replicated(cent)

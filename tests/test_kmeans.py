@@ -408,3 +408,51 @@ def test_profile_window(samples, tmp_path, monkeypatch, capsys):
     km(samples, 50, init="random", seed=5, tolerance=0.01, yinyang_t=0,
        verbosity=1, max_iterations=1)
     assert "profiler trace" not in capsys.readouterr().out
+
+
+def test_init_progress_lines_and_bitwise_segmentation(capsys):
+    """The segmented init drivers (models/initialization._drive_segments)
+    must (a) emit a verbosity-1 progress line per INIT_SEGMENT_CENTROIDS
+    centroids — the analog of the reference's init progress bars
+    (kmcuda.cc:286-290, 368-371) — and (b) produce BITWISE the same
+    centroids as the single-dispatch fori_loop form (same carried key
+    stream)."""
+    import jax
+    import jax.numpy as jnp
+
+    from kmcuda_tpu import config
+    from kmcuda_tpu.models import initialization as I
+    from kmcuda_tpu.models.problem import prepare
+    from kmcuda_tpu.ops.distance import DistanceMetric
+    from kmcuda_tpu.parallel.mesh import Topology
+    from kmcuda_tpu.utils.logging import Logger
+
+    rng = np.random.RandomState(4)
+    n, f, k = 4096, 16, 1024
+    x = rng.rand(n, f).astype(np.float32)
+
+    topo = Topology.from_device_mask(0, Logger(0))
+    for method, label in ((I.InitMethod.PLUS_PLUS, "kmeans++"),
+                          (I.InitMethod.AFKMC2, "afkmc2")):
+        p = prepare(x, k, DistanceMetric.L2, topo, Logger(1))
+        key = jax.random.key(9)
+        cent_seg = np.asarray(
+            I.init_centroids(p, method, key, afkmc2_m=8))
+        out = capsys.readouterr().out
+        lines = [l for l in out.splitlines()
+                 if l.startswith("%s: " % label)]
+        # k=1024 at segment 256 -> lines for 257, 513, 769, 1024
+        want = -(-(k - 1) // config.INIT_SEGMENT_CENTROIDS)
+        assert len(lines) == want, out
+        assert lines[-1].endswith("%d / %d centroids" % (k, k))
+
+        # bitwise identity with the unsegmented single program
+        if method == I.InitMethod.PLUS_PLUS:
+            cent_whole = I._init_plus_plus(
+                p.x, p.x_sq, p.valid, jnp.int32(p.n_valid), key, k=k,
+                metric=p.metric)
+        else:
+            cent_whole = I._init_afkmc2(
+                p.x, p.x_sq, p.valid, jnp.int32(p.n_valid), key, k=k,
+                m=8, metric=p.metric)
+        np.testing.assert_array_equal(cent_seg, np.asarray(cent_whole))
