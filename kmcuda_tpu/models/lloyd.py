@@ -59,6 +59,21 @@ def _build_run(mesh, n_clusters, metric, chunk, use_pallas=False):
 
 
 @functools.lru_cache(maxsize=64)
+def _build_run_pallas(mesh, n_clusters, metric, tile, chunk):
+    """shard_map + jit the churn-adaptive Mosaic convergence loop."""
+    fn = functools.partial(
+        A.lloyd_run_pallas, n_clusters=n_clusters, metric=metric,
+        tile=tile, chunk=chunk, axis_name=AXIS)
+    mapped = jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS), P(AXIS), P(AXIS), P(None, None),
+                  P(None, None), P(None), P(None)),
+        out_specs=(P(None, None), P(None, None), P(AXIS), P(AXIS),
+                   P(None, None), P(None), P(), P(), P(None)))
+    return jax.jit(mapped, donate_argnums=(3,))
+
+
+@functools.lru_cache(maxsize=64)
 def _build_run_incremental(mesh, n_clusters, metric, chunk):
     """shard_map + jit the incremental (delta-update) convergence loop."""
     fn = functools.partial(
@@ -265,8 +280,14 @@ def run(problem, centroids, assignments, tolerance, max_iterations=None,
     flag = config.USE_PALLAS_ASSIGN
     use_pallas = AP.supported(p.k, p.features) and (
         flag is True or (flag == "auto" and p.dtype == jnp.bfloat16))
-    # the Pallas tile needs sample counts in multiples of 1024
-    use_pallas = use_pallas and p.n_pad % 1024 == 0 and p.chunk % 128 == 0
+    # the Pallas tile needs the LOCAL shard length in multiples of 1024
+    # (sublane constraint: tile/128 rows must be a multiple of 8); and the
+    # kernels only compile through Mosaic — off-TPU the XLA incremental
+    # driver below serves every dtype (interpret mode under shard_map
+    # trips vma checks, see ops/assign.py:96-98)
+    use_pallas = (use_pallas and on_tpu()
+                  and (p.n_pad // p.topo.n) % 1024 == 0
+                  and p.chunk % 128 == 0)
     if not use_pallas:
         # Driver economics (round 4): the incremental driver's fused
         # high-churn arm costs the same one streamed pass as the fused
@@ -282,15 +303,23 @@ def run(problem, centroids, assignments, tolerance, max_iterations=None,
             p, centroids, assignments, tolerance,
             max_iterations=max_iterations, iter_offset=iter_offset)
         return c, a, None, iters, last
-    run_fn = _build_run(p.topo.mesh, p.k, p.metric, p.chunk, use_pallas)
+    nl_local = p.n_pad // p.topo.n
+    tile = 1024 if nl_local % 1024 == 0 else p.chunk
+    run_fn = _build_run_pallas(p.topo.mesh, p.k, p.metric, tile, p.chunk)
     tol_count = int(tolerance * p.n)
     # segmented on-device loop: one readback per segment; the reference's
-    # per-iteration progress lines replay from each segment's log
+    # per-iteration progress lines replay from each segment's log.  The
+    # adaptive loop's dense/sparse arm choice is seeded from drv.prev so
+    # the arm sequence — hence the accumulation stream — is bitwise
+    # independent of the segment length (same contract as the
+    # incremental XLA driver).
     drv = _SegmentDriver(p.logger, tol_count, max_iterations, iter_offset)
+    sums = p.topo.put_replicated(jnp.zeros((p.k, p.features), jnp.float32))
+    counts = p.topo.put_replicated(jnp.zeros((p.k,), jnp.int32))
     while True:
-        c_used, c_next, assignments, best, it, log, stag = run_fn(
-            p.x, p.x_sq, p.valid, assignments, centroids,
-            drv.limits(tol_count))
+        (c_used, c_next, assignments, best, sums, counts, it, log,
+         stag) = run_fn(p.x, p.x_sq, p.valid, assignments, centroids,
+                        sums, counts, drv.limits(tol_count, drv.prev))
         it, log, stag = jax.device_get((it, log, stag))
         if not drv.absorb(it, log, stag):
             break

@@ -341,6 +341,99 @@ def lloyd_run_incremental(x, x_sq, valid, prev_assign, centroids, sums,
 
 @functools.partial(
     jax.jit,
+    static_argnames=("n_clusters", "metric", "tile", "chunk", "axis_name"))
+def lloyd_run_pallas(x, x_sq, valid, prev_assign, centroids, sums, counts,
+                     limits, *,
+                     n_clusters: int, metric: D.DistanceMetric, tile: int,
+                     chunk: int, axis_name=None):
+    """On-device Lloyd loop on the Mosaic kernels, churn-adaptive.
+
+    High-churn iterations run the fused kernel (score + one-hot update in
+    one VMEM-resident pass, ops.assign_pallas._kernel); low-churn
+    iterations run the assignment-only kernel plus the compacted O(moved)
+    delta walk — skipping the one-hot update matmul, which is half a
+    dense iteration's MXU work (the same dense/compacted economics as
+    lloyd_run_incremental, with the same predict-from-previous-count rule
+    so the arm choice is a pure function of the trajectory).  Assignments
+    are bitwise identical between the arms (same score matmul, same
+    argmin sequence); the centroid sums differ from a pure fused loop
+    only by the documented delta-accumulation rounding, exactly like the
+    incremental XLA driver differs from the fused XLA loop.
+
+    (sums, counts) are the running accumulators, round-tripped across
+    segments exactly like lloyd_run_incremental's (a sparse segment-start
+    iteration adds its delta to them; zeros are only correct for a fresh
+    start, where the first iteration is always dense and REPLACES them).
+    Same limits/return contract as lloyd_run_incremental.
+    """
+    from kmcuda_tpu.ops import compact as C
+    from kmcuda_tpu.ops import assign_pallas as AP
+
+    k = n_clusters
+    centroids = centroids.astype(jnp.float32)
+    tol_count, max_iterations, patience = limits[0], limits[1], limits[2]
+    nl = x.shape[0]
+    n_total = jnp.int32(nl)
+    if axis_name is not None:
+        n_total = lax.psum(n_total, axis_name)
+
+    def cond(carry):
+        it, changed, (_mark, stale) = carry[6], carry[7], carry[9]
+        return (it == 0) | ((changed > tol_count) & (it < max_iterations)
+                            & (stale < patience))
+
+    def body(carry):
+        (_c_used, c_cur, assign, _best, sums, counts, it, prev_changed,
+         log, (mark, stale)) = carry
+        dense_p = C.predict_dense(prev_changed, n_total)
+
+        def dense(assign):
+            return AP.fused_lloyd_pass(
+                x, valid, assign, c_cur, n_clusters=k, metric=metric,
+                tile=tile, interpret=False, axis_name=axis_name)
+
+        def sparse(assign):
+            aid, best2, ch = AP.assign_only_pass(
+                x, valid, assign, c_cur, n_clusters=k, metric=metric,
+                tile=tile, interpret=False, axis_name=axis_name)
+            order, n_moved = C.stable_partition(aid != assign)
+            d_sums, d_counts = C.delta_compacted(
+                x, aid, assign, order, n_moved, n_clusters=k, chunk=chunk,
+                axis_name=axis_name)
+            return aid, best2, d_sums, d_counts, ch
+
+        aid, best2, dval, dcnt, ch = lax.cond(
+            dense_p, dense, sparse, assign)
+        if axis_name is not None:
+            dval = lax.psum(dval, axis_name)
+            dcnt = lax.psum(dcnt, axis_name)
+            ch = lax.psum(ch, axis_name)
+        # dense arm: the kernel's full segment sum REPLACES the carry (a
+        # fresh sum also resets delta-accumulation residue); sparse arm
+        # adds the compacted delta
+        sums2 = jnp.where(dense_p, dval, sums + dval)
+        counts2 = jnp.where(dense_p, dcnt, counts + dcnt)
+        c_next = D.normalize_centroids(
+            sums2, counts2.astype(jnp.float32), metric)
+        log = log.at[it].set(ch)
+        mark2, stale2 = _stagnation_update(ch, mark, stale)
+        return (c_cur, c_next, aid, best2, sums2, counts2, it + 1, ch,
+                log, (mark2, stale2))
+
+    assign0, best0 = _mark_varying(
+        (prev_assign, jnp.zeros((nl,), jnp.float32)), axis_name)
+    init = (centroids, centroids, assign0, best0, sums, counts,
+            jnp.int32(0), limits[5],
+            jnp.zeros((LOG_CAPACITY,), jnp.int32),
+            (limits[3], limits[4]))
+    (c_used, c_next, assign, best, sums, counts, it, _changed,
+     log, bs) = lax.while_loop(cond, body, init)
+    return (c_used, c_next, assign, best, sums, counts, it, log,
+            jnp.stack(bs))
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("n_clusters", "metric", "chunk", "axis_name"))
 def lloyd_step(x, x_sq, valid, prev_assign, centroids, *,
                n_clusters: int, metric: D.DistanceMetric, chunk: int,

@@ -89,6 +89,110 @@ def _kernel(x_ref, ct_ref, csqpen_ref, ids_ref, valid_ref, prev_ref,
         dtype=jnp.int32)
 
 
+def _kernel_assign_only(x_ref, ct_ref, csqpen_ref, ids_ref, valid_ref,
+                        prev_ref, aid_ref, best_ref, changed_ref, *,
+                        n_clusters: int):
+    """Score + argmin + reassignment count, NO centroid update — the
+    sparse-arm companion of :func:`_kernel`.  The score matmul and the
+    argmin sequence are the same ops in the same order as the fused
+    kernel, so assignments are bitwise identical between the two; the
+    caller pairs this with the compacted O(moved) delta update
+    (ops.compact.delta_compacted), skipping the one-hot update matmul —
+    half the MXU work of a dense iteration in the low-churn tail."""
+    i = pl.program_id(0)
+    k = n_clusters
+
+    s = jnp.dot(x_ref[:], ct_ref[:], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST
+                if x_ref.dtype == jnp.float32 else
+                jax.lax.Precision.DEFAULT)
+    s = s + csqpen_ref[:]
+    s = jnp.where(jnp.isfinite(s), s, config.PAD_PENALTY)
+
+    best = jnp.min(s, axis=1)
+    ids = ids_ref[:]
+    aid = jnp.min(jnp.where(s <= best[:, None], ids, k), axis=1)
+    valid_v = valid_ref[:].reshape(-1)
+    aid = jnp.where(valid_v != 0, aid, k).astype(jnp.int32)
+
+    aid_ref[:] = aid.astype(jnp.uint32).reshape(aid_ref.shape)
+    best_ref[:] = best.reshape(best_ref.shape)
+
+    @pl.when(i == 0)
+    def _init():
+        changed_ref[0, 0] = jnp.int32(0)
+
+    changed_ref[0, 0] += jnp.sum(
+        aid.astype(jnp.uint32) != prev_ref[:].reshape(-1),
+        dtype=jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_clusters", "metric", "tile", "interpret",
+                     "axis_name"))
+def assign_only_pass(x, valid, prev_assign, centroids, *, n_clusters: int,
+                     metric: D.DistanceMetric, tile: int, interpret: bool,
+                     axis_name=None):
+    """Assignment-only Pallas pass: returns (assign (Nl,) uint32,
+    best (Nl,) fp32, changed () int32 — LOCAL, caller psums)."""
+    nl, f = x.shape
+    k = n_clusters
+    c_t, c_sq, penalty, orig_ids = pad_clusters(centroids, x.dtype)
+    kp = c_t.shape[1]
+    scale = -2.0 if metric == D.DistanceMetric.L2 else -1.0
+    ct_panel = (c_t.astype(jnp.float32) * scale).astype(x.dtype)
+    if metric == D.DistanceMetric.L2:
+        bias = (c_sq + penalty)[None, :]
+    else:
+        bias = penalty[None, :]
+
+    grid = nl // tile
+    rows = tile // 128
+    vma = frozenset() if axis_name is None else frozenset({axis_name})
+    if axis_name is not None:
+        from kmcuda_tpu.ops.assign import _mark_varying
+
+        ct_panel, bias, orig_ids = _mark_varying(
+            (ct_panel, bias, orig_ids), axis_name)
+    valid2 = valid.astype(jnp.int32).reshape(nl // 128, 128)
+    prev2 = prev_assign.reshape(nl // 128, 128)
+    aid, best, changed = pl.pallas_call(
+        functools.partial(_kernel_assign_only, n_clusters=k),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((tile, f), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, kp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((rows, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nl // 128, 128), jnp.uint32, vma=vma),
+            jax.ShapeDtypeStruct((nl // 128, 128), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32, vma=vma),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(x, ct_panel, bias, orig_ids[None, :], valid2, prev2)
+    return aid.reshape(nl), best.reshape(nl), changed[0, 0]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_clusters", "metric", "tile", "interpret",

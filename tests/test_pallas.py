@@ -71,3 +71,32 @@ def test_fused_pass_nan_and_invalid_rows():
     assert (aid == np.asarray(a2)).all()
     assert (aid[100:110] == k).all()
     assert not (aid == 3).any()
+
+
+def test_assign_only_pass_matches_fused():
+    """The assignment-only kernel (the adaptive loop's sparse arm) must
+    produce bitwise the assignments/scores/changed of the fused kernel —
+    that equality is what makes the dense/sparse arm choice a pure
+    wall-time decision in ops.assign.lloyd_run_pallas."""
+    import jax.numpy as jnp
+
+    from kmcuda_tpu.ops.assign_pallas import (assign_only_pass,
+                                              fused_lloyd_pass)
+    from kmcuda_tpu.ops.distance import DistanceMetric
+
+    rng = np.random.RandomState(7)
+    n, f, k = 4096, 16, 50
+    x = jnp.asarray(rng.rand(n, f).astype(np.float32))
+    valid = jnp.ones((n,), bool)
+    prev = jnp.full((n,), k, jnp.uint32)
+    c = x[:k].astype(jnp.float32)
+
+    aid_f, best_f, _sums, _counts, ch_f = fused_lloyd_pass(
+        x, valid, prev, c, n_clusters=k, metric=DistanceMetric.L2,
+        tile=1024, interpret=True)
+    aid_o, best_o, ch_o = assign_only_pass(
+        x, valid, prev, c, n_clusters=k, metric=DistanceMetric.L2,
+        tile=1024, interpret=True)
+    assert (np.asarray(aid_f) == np.asarray(aid_o)).all()
+    np.testing.assert_array_equal(np.asarray(best_f), np.asarray(best_o))
+    assert int(ch_f) == int(ch_o)
