@@ -257,6 +257,7 @@ def run(problem, centroids, assignments, tolerance, groups,
     sums = p.topo.put_replicated(jnp.zeros((p.k, p.features), jnp.float32))
     counts = p.topo.put_replicated(jnp.zeros((p.k,), jnp.int32))
     drv = L._SegmentDriver(p.logger, draft_tol, max_iterations)
+    t_run0 = time.perf_counter()   # phase walls, reported at verbosity 2
     lloyd_spi = None   # measured seconds/iteration of a warm Lloyd segment
     # compile-warmth rides on the cached executable (round 4): any earlier
     # run through the same build key — a warmup call, a previous segment,
@@ -315,12 +316,18 @@ def run(problem, centroids, assignments, tolerance, groups,
         return c_used, assignments, None, drv.done
 
     # ---- phase 2: group the centroids (kmeans.cu:1061-1094) -------------
+    t_draft_end = time.perf_counter()
+    p.logger.debug("yinyang: draft phase %.3f s (%d iterations)"
+                   % (t_draft_end - t_run0, drv.done))
     if key is None:
         key = jax.random.key(0)
     _gof, flat_slot, pad_src, pad_pen, cap = _group_centroids(
         p, centroids, groups, jax.random.fold_in(key, 0x77))
     p.logger.debug("yinyang: group capacity %d (padding %.0f%%)"
                    % (cap, 100.0 * (groups * cap - p.k) / p.k))
+    t_group_end = time.perf_counter()
+    p.logger.debug("yinyang: grouping phase %.3f s"
+                   % (t_group_end - t_draft_end))
 
     # bound-array budget: (n, G) fp32 is the dominant Yinyang state; above
     # the budget store it bf16 (sound: lower bounds round down — see
@@ -385,6 +392,8 @@ def run(problem, centroids, assignments, tolerance, groups,
             (it, log_ch, log_pa, log_ca, stag))
         sched = tuple(int(v) for v in stag[2:10])
         wall = time.perf_counter() - t0
+        p.logger.debug("yinyang: segment of %d iterations in %.3f s"
+                       % (int(it), wall))
 
         def _dbg(i):
             p.logger.debug("yinyang: %d candidates, %d samples passed the "
@@ -457,4 +466,6 @@ def run(problem, centroids, assignments, tolerance, groups,
         yy_warm = run_fn.kmtpu_warm = True
         resume = next_resume
     drv.finish()
+    p.logger.debug("yinyang: main loop %.3f s (%d iterations total)"
+                   % (time.perf_counter() - t_group_end, drv.done))
     return c_fin, assignments, None, drv.done

@@ -414,7 +414,8 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
             l_new = l_new - eps * (1.0 + l_new)
             return aid, u_new, l_new, ga_new
 
-        def sparse_iter(assign, u_st, l, ga2, flags):
+        def sparse_iter(assign, u_st, l, ga2, do_tighten, *,
+                        l_refresh: bool):
             """Compacted path: tighten u to the exact own-centroid
             distance over the global-filter candidates and re-test
             against the phase-1 ``lmin_now``, then run the local filter
@@ -441,9 +442,15 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
             the local filter costs one assignment-width matmul per
             passed row.  Results are bitwise identical either way
             (bounds never feed the argmin); the schedule only moves wall
-            time."""
-            do_tighten, l_refresh = flags[1], flags[2]
+            time.
 
+            ``l_refresh`` is a PYTHON bool: the refresh/keep variants are
+            separate lax.switch branches (round 5) — the former inner
+            lax.cond threaded the (n, G) l array through one more
+            cond layer, and every cond layer an operand crosses costs one
+            full-array XLA copy per iteration (profiled 3.4 ms at
+            2M x 102 fp32 on v5e; two layers = the two copies that led
+            the sparse-iteration profile)."""
             # ---- phase 2a: tighten u over the compacted candidates ------
             # (the reference's global-filter tightening,
             # kmeans.cu:541-582): take the exact own-centroid distance,
@@ -567,24 +574,14 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
                         l_th,
                         ga_full.at[idx_ok].set(ga_new, mode="drop"))
 
-            def lf_refresh():
-                linit = _mark_varying(
-                    (jnp.int32(0), assign, u3, l, ga2), axis_name)
-                _i2, a2, u4, l4, ga4 = lax.while_loop(
-                    lcond, lbody_refresh, linit)
-                return a2, u4, l4, ga4
-
-            def lf_keep():
-                linit = _mark_varying(
-                    (jnp.int32(0), assign, u3, l, ga2), axis_name)
-                _i2, a2, u4, l4, ga4 = lax.while_loop(
-                    lcond, lbody_keep_l, linit)
-                return a2, u4, l4, ga4
-
-            assign2, u4, l4, ga4 = lax.cond(l_refresh, lf_refresh, lf_keep)
+            linit = _mark_varying(
+                (jnp.int32(0), assign, u3, l, ga2), axis_name)
+            _i2, assign2, u4, l4, ga4 = lax.while_loop(
+                lcond, lbody_refresh if l_refresh else lbody_keep_l, linit)
             return assign2, u4, l4, ga4, passed_n
 
-        def dense_iter(assign, u_st, l, ga2, flags):
+        def dense_iter(assign, u_st, l, ga2, _do_tighten, *,
+                       refresh: bool):
             """Dense path: when the global filter passes (almost)
             everything, one natural-order pass over ALL samples is
             strictly cheaper than compaction — no gathers, no scatters.
@@ -603,9 +600,10 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
             matmul).  Per-row assignments are bitwise identical to the
             compacted path in either mode (matmul elements are
             row-independent and the argmin never reads a bound), so mode
-            choice never changes the output, only the wall time."""
-            mode_refresh = flags[0]
+            choice never changes the output, only the wall time.
 
+            ``refresh`` is a PYTHON bool — a lax.switch branch each, for
+            the same copy-elision reason as sparse_iter's l_refresh."""
             def dpass_refresh():
                 def dbody(_, inp):
                     xb, xsqb, vb, ab, ub, gab = inp
@@ -653,8 +651,7 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
                 return (outs[0].reshape(nl), outs[1].reshape(nl), l_out,
                         outs[2].reshape(nl))
 
-            a2, u4, l4, ga4 = lax.cond(
-                mode_refresh, dpass_refresh, dpass_plain)
+            a2, u4, l4, ga4 = dpass_refresh() if refresh else dpass_plain()
             return a2, u4, l4, ga4, n_valid_local
 
         # global (replicated) dense/compacted decision so every shard
@@ -706,9 +703,22 @@ def yy_run(x, x_sq, valid, assign0, centroids0, sums0, counts0,
         if debug_mode != 0:  # triage modes must exercise every phase
             do_tighten = jnp.bool_(True)
             sparse_refresh = jnp.bool_(True)
-        assign2, u4, l4, ga4, passed_n = lax.cond(
-            use_dense, dense_iter, sparse_iter, assign, u, l, ga,
-            (mode_refresh, do_tighten, sparse_refresh))
+        # ONE lax.switch over the four iteration variants (round 5): the
+        # former nesting (cond(use_dense) wrapping cond(refresh)) passed
+        # the (n, G) l array through two cond layers, and XLA copies a
+        # cond operand once per layer — the two f32[n, G] copies at the
+        # top of the sparse-iteration profile (6.9 ms/it at 2M x 102).
+        branch = jnp.where(
+            use_dense,
+            jnp.int32(2) + mode_refresh.astype(jnp.int32),
+            sparse_refresh.astype(jnp.int32))
+        assign2, u4, l4, ga4, passed_n = lax.switch(
+            branch,
+            [functools.partial(sparse_iter, l_refresh=False),
+             functools.partial(sparse_iter, l_refresh=True),
+             functools.partial(dense_iter, refresh=False),
+             functools.partial(dense_iter, refresh=True)],
+            assign, u, l, ga, do_tighten)
         refresh_in2 = jnp.where(
             ~use_dense, jnp.int32(0),
             jnp.where(mode_refresh, period_adj, refresh_in - 1))
