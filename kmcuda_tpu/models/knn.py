@@ -491,18 +491,29 @@ def run(problem, centroids, assignments, k_neighbors: int):
         p.logger.debug("knn: plan (relabel+pack+radii) %.3f s"
                        % (_time.perf_counter() - t0))
     t_search = _time.perf_counter()
-    parts, examined = [], 0.0
+    n_batches = n_full + (1 if rem else 0)
+    # per-batch examined counts stay ON DEVICE until after the loop: a
+    # float(ex) here blocks on the batch finishing, so every batch pays a
+    # full host round trip (remote tunnel: ~30+ ms) before the next one
+    # even dispatches — 16 serialized sync points at the 1M benchmark
+    # shape (VERDICT r4 weak #4).  Async dispatch queues all batches
+    # back-to-back instead; one readback at the end sums them.  The
+    # per-batch wall/examined log (the progress signal for long searches)
+    # is verbosity-2-only, where the blocking fetch is the documented
+    # price of per-stage timing (same contract as the plan-wall fetch).
+    per_batch_sync = p.logger.verbosity > 1 and n_batches > 1
+    parts, ex_parts = [], []
     for b in range(n_full):
         tb = _time.perf_counter()
         nbp, dsb, ex = search(xq, xq_sq, q_assign, xm, m_spos_r,
                               c_rank, r_ext, inc_c, inc_t, tile_nvalid,
                               xm_walk, jnp.int32(b * k_batch))
         parts.append((nbp, dsb))
-        examined += float(ex)
-        if n_full + (1 if rem else 0) > 1:
+        ex_parts.append(ex)
+        if per_batch_sync:
             p.logger.debug(
                 "knn: batch %d/%d (%.3g distances examined, %.3f s)"
-                % (b + 1, n_full + (1 if rem else 0), float(ex),
+                % (b + 1, n_batches, float(ex),
                    _time.perf_counter() - tb))
     if rem:
         search_r = _build_pruned_search(
@@ -512,10 +523,10 @@ def run(problem, centroids, assignments, k_neighbors: int):
                                 c_rank, r_ext, inc_c, inc_t, tile_nvalid,
                                 xm_walk, jnp.int32(n_full * k_batch))
         parts.append((nbp, dsb))
-        examined += float(ex)
+        ex_parts.append(ex)
+    examined = float(sum(jnp.asarray(e) for e in ex_parts))
     p.logger.debug("knn: search total %.3f s (%d batches)"
-                   % (_time.perf_counter() - t_search,
-                      n_full + (1 if rem else 0)))
+                   % (_time.perf_counter() - t_search, n_batches))
 
     def reassemble(ps):
         # each part is shard-major ((n_dev * rows_b, k)); concatenate the
