@@ -33,8 +33,10 @@ the tile bound and an upward margin on kth, so dot-form rounding can only
 weaken pruning, never drop a true neighbor; the surviving candidates get
 the same exact subtract-square rescore as the brute-force path.
 
-Candidates are tracked as *padded-layout positions* during the search and
-mapped back to original sample indices only at the end.
+Candidates are tracked as *padded-layout positions* during the search
+(the merge tie-break is lexicographic in packed id space) and relabeled
+to original sample indices inside the exact rescore, whose candidate-row
+gather already pays the HBM traffic.
 """
 
 import functools
@@ -89,14 +91,24 @@ def candidate_kk(k_neighbors: int, n_members: int) -> int:
     return min(k_neighbors + max(16, k_neighbors // 2), n_members)
 
 
-def exact_rescore(qb, bi, xm, metric, k_neighbors):
+def exact_rescore(qb, bi, xm, metric, k_neighbors, orig_pos=None):
     """Cancellation-free exact rescore of kk candidate ids + final
     top-k_neighbors selection — shared by the XLA and Pallas walks.
 
     The search ranks by dot-form distances (fast, slack-padded); the
     survivors get the subtract-square form the reference's knn kernels
     use throughout (metric_abstraction.h:59-70) so near-ties come back
-    in exact order.  bi < 0 marks empty buffer slots."""
+    in exact order.  bi < 0 marks empty buffer slots.
+
+    orig_pos (optional, (M,) int32): packed position -> original sample
+    id.  When given, the returned ids are relabeled to original ids HERE
+    — the candidate rows are being gathered from HBM for the rescore
+    anyway, so the extra int lookup rides the same index stream; doing
+    it afterwards as a standalone (n, k) elementwise gather cost 143 ms
+    at the 1M benchmark (it was the 3rd-largest program in the trace).
+    The (distance, id) tie-break still happens in PACKED id space
+    (select_k runs before the relabel), which is what the bit-parity
+    locks between the XLA and Pallas walks assume."""
     cand = jnp.maximum(bi, 0)
     diff = (qb[:, None, :].astype(jnp.float32)
             - xm[cand].astype(jnp.float32))
@@ -107,7 +119,11 @@ def exact_rescore(qb, bi, xm, metric, k_neighbors):
         d_exact = 2.0 * jnp.arcsin(jnp.clip(chord * 0.5, 0.0, 1.0))
     d_exact = jnp.where(bi < 0, INF, d_exact)
     d_sorted, i_sorted = select_k(d_exact, cand, k_neighbors)
-    i_sorted = jnp.where(jnp.isfinite(d_sorted), i_sorted, -1)
+    if orig_pos is not None:
+        i_sorted = jnp.where(jnp.isfinite(d_sorted),
+                             orig_pos[i_sorted], -1)
+    else:
+        i_sorted = jnp.where(jnp.isfinite(d_sorted), i_sorted, -1)
     return i_sorted, d_sorted
 
 
@@ -185,7 +201,7 @@ def packed_layout(a_sorted, *, k, tile_m, n_tiles):
     return inc_c, inc_t, tile_nvalid
 
 
-def search(xq, xq_sq, q_assign, xm, m_spos, c_rank, r_ext,
+def search(xq, xq_sq, q_assign, xm, xm_sq, m_spos, orig_pos, c_rank, r_ext,
            inc_c, inc_t, tile_nvalid, xm_walk, chunk_base, *,
            k_neighbors, n_clusters, metric, chunk, tile_m, group,
            n_batch_chunks, use_pallas=False, pallas_interpret=False,
@@ -197,8 +213,13 @@ def search(xq, xq_sq, q_assign, xm, m_spos, c_rank, r_ext,
       squared norms, cluster id (k invalid).
     xm:     (M, F) replicated packed members (= the sorted queries plus
       filler rows; one array serves both sides).
+    xm_sq:  (M,) replicated member squared norms, computed ONCE by the
+      driver (recomputing inside cost a full 1 GB member-array read per
+      host batch at the 1M benchmark).
     m_spos: (M,) global *sorted position* of each packed row (-1 for
       invalid/filler); doubles as validity and as the self-exclusion key.
+    orig_pos: (M,) packed position -> original sample id (-1 invalid);
+      neighbor ids are relabeled inside the rescore (see exact_rescore).
     c_rank: (k, F) fp32 rank-space centroids (NaN rows = dead clusters;
       dead clusters have no members hence no incidences, so their zeroed
       rows never produce a visited tile).
@@ -221,8 +242,8 @@ def search(xq, xq_sq, q_assign, xm, m_spos, c_rank, r_ext,
       n_batch_chunks)*chunk).  The driver loops over batches so no single
       device dispatch runs unboundedly long (see config.KNN_QUERY_BATCH).
 
-    Returns (neighbors (n_batch_chunks*chunk, k) int32 — *packed
-    positions*, distances (..., k) f32 ascending, examined () f32 —
+    Returns (neighbors (n_batch_chunks*chunk, k) int32 — *original
+    sample ids*, distances (..., k) f32 ascending, examined () f32 —
     number of (query, member) distances examined, psum'd across the
     mesh).
     """
@@ -232,7 +253,6 @@ def search(xq, xq_sq, q_assign, xm, m_spos, c_rank, r_ext,
     k = n_clusters
     kk = candidate_kk(k_neighbors, nm)
 
-    xm_sq = D.row_sq_norms(xm)
     m_pen = jnp.where(m_spos >= 0, 0.0, config.PAD_PENALTY)
     # absolute dot-form error envelope coefficient (0 = fp32 storage,
     # whose HIGHEST-precision scores the relative SLACK already covers)
@@ -272,9 +292,21 @@ def search(xq, xq_sq, q_assign, xm, m_spos, c_rank, r_ext,
     # large scanned search once faulted the TPU runtime).
     c_safe = jnp.where(jnp.isfinite(c_rank), c_rank, 0.0)
     c_safe_sq = jnp.sum(c_safe * c_safe, axis=1)
-    qv = (q_assign < k).reshape(nchunks, chunk)
+    qv = q_assign < k
 
-    def chunk_umin(_, inp):
+    # slab = as many chunks as fit a bounded (rows, k) fp32 intermediate:
+    # a per-chunk scan made this matmul (chunk x f x k) too small for the
+    # MXU — 77 us/chunk, 295 ms/run at the 1M benchmark vs ~1 ms/slab for
+    # the same FLOPs batched.  Power-of-2 divisor of nchunks so the scan
+    # reshape is exact; cap at 2^25 elements (128 MB) of scratch.
+    slab_chunks = 1
+    while (slab_chunks * 2 * chunk * max(k, 1) <= (1 << 25)
+           and nchunks % (slab_chunks * 2) == 0):
+        slab_chunks *= 2
+    nslabs = nchunks // slab_chunks
+    slab_rows = slab_chunks * chunk
+
+    def slab_umin(_, inp):
         qb, qsqb, vb = inp
         prod = jnp.dot(qb.astype(jnp.float32), c_safe.T,
                        precision=lax.Precision.HIGHEST)
@@ -284,12 +316,14 @@ def search(xq, xq_sq, q_assign, xm, m_spos, c_rank, r_ext,
         else:
             dd = jnp.arccos(jnp.clip(prod, -1.0, 1.0))
         dd = jnp.where(vb[:, None], dd, INF)
-        return None, jnp.min(dd, axis=0)
+        return None, jnp.min(dd.reshape(slab_chunks, chunk, k), axis=1)
 
     _, u_all = lax.scan(
-        chunk_umin, None,
-        (xq.reshape(nchunks, chunk, f), xq_sq.reshape(nchunks, chunk),
-         qv))                                               # (nchunks, k)
+        slab_umin, None,
+        (xq.reshape(nslabs, slab_rows, f),
+         xq_sq.reshape(nslabs, slab_rows),
+         qv.reshape(nslabs, slab_rows)))
+    u_all = u_all.reshape(nchunks, k)                       # (nchunks, k)
     inc_cc = jnp.minimum(inc_c, k - 1)
     vals = u_all[:, inc_cc] - r_ext[inc_cc][None, :]        # (nchunks, L)
     vals = vals - SLACK * (1.0 + jnp.abs(vals))
@@ -331,7 +365,8 @@ def search(xq, xq_sq, q_assign, xm, m_spos, c_rank, r_ext,
 
         def resc(_, inp):
             qb, bib = inp
-            return None, exact_rescore(qb, bib, xm, metric, k_neighbors)
+            return None, exact_rescore(qb, bib, xm, metric, k_neighbors,
+                                       orig_pos)
 
         _, (nbr, dist) = lax.scan(
             resc, None,
@@ -440,7 +475,8 @@ def search(xq, xq_sq, q_assign, xm, m_spos, c_rank, r_ext,
             init = _mark_varying(init, axis_name)
         (_r, bd, bi, count) = lax.while_loop(vcond, vbody, init)
 
-        i_sorted, d_sorted = exact_rescore(qb, bi, xm, metric, k_neighbors)
+        i_sorted, d_sorted = exact_rescore(qb, bi, xm, metric, k_neighbors,
+                                           orig_pos)
         return count, (i_sorted, d_sorted)
 
     count0 = jnp.float32(0)

@@ -36,8 +36,12 @@ def _search_inputs(x, n_clusters, k_neighbors, metric=D.DistanceMetric.L2):
     kw = dict(k_neighbors=k_neighbors, n_clusters=p.k, metric=metric,
               chunk=plan.q_chunk, tile_m=plan.tile_m, group=plan.group,
               n_batch_chunks=plan.m_total // plan.q_chunk, axis_name=None)
-    args = (plan.xm, D.row_sq_norms(plan.xm), plan.q_assign,
-            plan.xm, plan.m_spos, plan.c_rank, plan.r_ext,
+    sq = D.row_sq_norms(plan.xm)
+    orig_pos = jnp.where(
+        plan.m_spos >= 0,
+        plan.sorder[jnp.maximum(plan.m_spos, 0)], jnp.int32(-1))
+    args = (plan.xm, sq, plan.q_assign,
+            plan.xm, sq, plan.m_spos, orig_pos, plan.c_rank, plan.r_ext,
             plan.inc_c, plan.inc_t, plan.tile_nvalid, plan.xm,
             jnp.int32(0))
     return args, kw, plan.group
@@ -120,10 +124,10 @@ def test_pallas_walk_wide_features_and_kk_exact():
     nbr_x, dist_x, _c = jax.device_get(fx(*args))
     nbr_p, dist_p, _c = jax.device_get(fp(*args))
 
-    # fp64 ground truth over the packed layout (walk outputs are packed
-    # positions mapped back by the caller; here compare pre-mapping)
+    # fp64 ground truth over the packed layout (neighbor ids are original
+    # sample ids after the in-rescore relabel; distances are id-agnostic)
     xm = np.asarray(jax.device_get(args[0])).astype(np.float64)
-    spos = np.asarray(jax.device_get(args[4]))
+    spos = np.asarray(jax.device_get(args[5]))
     valid = spos >= 0
     xv = xm[valid]
     import scipy.spatial.distance as ssd
