@@ -53,8 +53,9 @@ def _build_yy_run(mesh, n_clusters, groups, group_cap, metric, chunk,
     return jax.jit(mapped, donate_argnums=(3, 10, 11, 12))
 
 
-@functools.partial(jax.jit, static_argnames=("groups", "metric", "chunk"))
-def _group_kmeans(c_in, key, tol_count, *, groups, metric, chunk):
+@functools.partial(jax.jit,
+                   static_argnames=("kp", "groups", "metric", "chunk"))
+def _group_kmeans(c_in, key, tol_count, *, kp, groups, metric, chunk):
     """The recursive k-means over the centroids (kmeans.cu:1061-1094) as
     ONE jitted program: k-means++ seed + on-device Lloyd loop + the
     centroid->group-center distance matrix.  The previous form (prepare a
@@ -62,7 +63,9 @@ def _group_kmeans(c_in, key, tol_count, *, groups, metric, chunk):
     host round-trips, each of which costs tens of ms over a remote TPU
     link — a fixed per-run cost that dominated short Yinyang runs.
 
-    c_in: (kp, F) fp32, NaN rows = dead centroids.
+    c_in: (k, F) raw centroids, padded to kp rows HERE (inside the jit:
+    the eager pad used to cost three standalone device programs per run,
+    each paying a first-load round trip in a fresh process).
     Returns (g_assign (kp,) uint32 — ``groups`` for dead rows,
     prefs (kp, <=8) int32 — nearest group ids, ascending distance).  Only
     the top-8 preferences leave the device: the full (kp, groups) distance
@@ -72,9 +75,10 @@ def _group_kmeans(c_in, key, tol_count, *, groups, metric, chunk):
     from kmcuda_tpu.models import initialization as I
     from kmcuda_tpu.ops import assign as A
 
-    kp = c_in.shape[0]
-    valid = jnp.all(jnp.isfinite(c_in), axis=1)
-    x = jnp.where(valid[:, None], c_in, 0.0)
+    c_pad = jnp.full((kp, c_in.shape[1]), jnp.nan, jnp.float32).at[
+        :c_in.shape[0]].set(c_in.astype(jnp.float32))
+    valid = jnp.all(jnp.isfinite(c_pad), axis=1)
+    x = jnp.where(valid[:, None], c_pad, 0.0)
     x_sq = D.row_sq_norms(x)
     c0 = I._init_plus_plus(x, x_sq, valid, jnp.sum(valid, dtype=jnp.int32),
                            key, k=groups, metric=metric)
@@ -89,6 +93,24 @@ def _group_kmeans(c_in, key, tol_count, *, groups, metric, chunk):
     dists = jnp.where(jnp.isfinite(dists), dists, jnp.inf)
     _nd, prefs = lax.top_k(-dists, min(8, groups))
     return g_assign, prefs.astype(jnp.int32)
+
+
+@functools.lru_cache(maxsize=16)
+def _zero_bounds_fn(mesh, n_pad, groups, bounds_dtype):
+    """ONE sharded-output program building the (u, l, group_assign)
+    Yinyang bound state (donated into the device loop, hence fresh per
+    run).  Three eager ``put_sharded(jnp.zeros(...))`` calls each
+    compiled a broadcast program that pays a per-process first-load round
+    trip over a remote TPU link (VERDICT r4 weak #6)."""
+    from jax.sharding import NamedSharding
+
+    s1 = NamedSharding(mesh, P(AXIS))
+    s2 = NamedSharding(mesh, P(AXIS, None))
+    return jax.jit(
+        lambda: (jnp.zeros((n_pad,), jnp.float32),
+                 jnp.zeros((n_pad, groups), bounds_dtype),
+                 jnp.zeros((n_pad,), jnp.int32)),
+        out_shardings=(s1, s2, s1))
 
 
 def _group_cap(k: int, groups: int) -> int:
@@ -117,15 +139,17 @@ def _group_centroids(problem, centroids, groups, key):
     pad_src (G,P) int32 np, pad_pen (G,P) f32 np, P)."""
     p = problem
     k = p.k
-    kp = -(-k // 256) * 256  # stable jit shapes across close k
-    c_pad = jnp.full((kp, p.features), jnp.nan, jnp.float32).at[:k].set(
-        jnp.asarray(centroids, jnp.float32))
+    # kp keeps the INTERNAL group-kmeans shapes 256-stable; the program
+    # itself keys on k like every other driver program (yy_run already
+    # has n_clusters static, so per-k compiles are the norm)
+    kp = -(-k // 256) * 256
     chunk = kp
     while chunk > 2048 and chunk % 2 == 0:
         chunk //= 2
     g_assign, prefs = _group_kmeans(
-        c_pad, key, jnp.int32(int(config.YINYANG_GROUP_TOLERANCE * k)),
-        groups=groups, metric=p.metric, chunk=chunk)
+        centroids, key,
+        np.int32(int(config.YINYANG_GROUP_TOLERANCE * k)),
+        kp=kp, groups=groups, metric=p.metric, chunk=chunk)
     # ONE small host readback for the whole grouping phase
     g_assign, prefs = jax.device_get((g_assign, prefs))
     group_of = np.asarray(g_assign)[:k].astype(np.int64)
@@ -254,8 +278,7 @@ def run(problem, centroids, assignments, tolerance, groups,
     # iteration budget flow through the algorithm switch, so the stopping
     # iteration matches a pure Lloyd run of the same trajectory exactly.
     lloyd_fn = L._build_run_incremental(p.topo.mesh, p.k, p.metric, p.chunk)
-    sums = p.topo.put_replicated(jnp.zeros((p.k, p.features), jnp.float32))
-    counts = p.topo.put_replicated(jnp.zeros((p.k,), jnp.int32))
+    sums, counts = L.zero_accumulators(p)
     drv = L._SegmentDriver(p.logger, draft_tol, max_iterations)
     t_run0 = time.perf_counter()   # phase walls, reported at verbosity 2
     lloyd_spi = None   # measured seconds/iteration of a warm Lloyd segment
@@ -341,12 +364,11 @@ def run(problem, centroids, assignments, tolerance, groups,
     run_fn = _build_yy_run(p.topo.mesh, p.k, groups, cap, p.metric,
                            p.chunk, debug_mode=config.YY_DEBUG_MODE,
                            bounds_dtype=bounds_dtype)
-    pad_src_d = p.topo.put_replicated(jnp.asarray(pad_src))
-    pad_pen_d = p.topo.put_replicated(jnp.asarray(pad_pen))
-    flat_slot_d = p.topo.put_replicated(jnp.asarray(flat_slot))
-    u = p.topo.put_sharded(jnp.zeros((p.n_pad,), jnp.float32))
-    l = p.topo.put_sharded(jnp.zeros((p.n_pad, groups), bounds_dtype))
-    ga = p.topo.put_sharded(jnp.zeros((p.n_pad,), jnp.int32))
+    pad_src_d = p.topo.put_replicated(pad_src)
+    pad_pen_d = p.topo.put_replicated(pad_pen)
+    flat_slot_d = p.topo.put_replicated(flat_slot)
+    u, l, ga = _zero_bounds_fn(
+        p.topo.mesh, p.n_pad, groups, bounds_dtype)()
 
     # ---- phase 3: the segmented main loop under the controller ----------
     # (bounded dispatches, live progress, exact (u, l, sums, counts,

@@ -33,8 +33,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from kmcuda_tpu import config
 from kmcuda_tpu.ops import distance as D
-from kmcuda_tpu.ops.assign import pad_clusters
-
 #: engage the Pallas kernel only below these shape bounds (VMEM budget)
 MAX_PALLAS_K = 4096
 MAX_PALLAS_F = 512
@@ -43,6 +41,41 @@ MAX_PALLAS_F = 512
 def supported(n_clusters: int, features: int) -> bool:
     return (-(-n_clusters // config.LANE) * config.LANE <= MAX_PALLAS_K
             and features <= MAX_PALLAS_F)
+
+
+def _panel(centroids, storage_dtype, metric):
+    """Sanitized score panel: (ct_panel (F, Kp) storage dtype, bias
+    (1, Kp) fp32, orig_ids (Kp,) int32).
+
+    Dead (non-finite) centroid rows become zero rows with a PAD_PENALTY
+    bias, so every kernel score is finite BY CONSTRUCTION and the kernel
+    needs no per-tile ``isfinite`` sanitize pass — one of the handful of
+    full (TS, Kp) VPU passes the fused kernel makes per sample tile
+    (VERDICT r5: the pass count, not the MXU, bounds the bf16 MFU).
+    Bitwise: a dead column's score was ``where(isfinite(NaN), ., PAD)``
+    = PAD_PENALTY; now it is ``dot(x, 0) + (0 + PAD_PENALTY)`` — the
+    same fp32 value, for every sample.  Samples themselves are finite on
+    every driver path (prepare() zeroes invalid rows; models/problem.py),
+    which is what makes panel-side sanitization sufficient."""
+    k, f = centroids.shape
+    kp = -(-k // config.LANE) * config.LANE
+    cf = centroids.astype(jnp.float32)
+    finite = jnp.isfinite(cf)
+    dead = ~jnp.all(finite, axis=1)                         # (k,)
+    cf = jnp.where(finite, cf, 0.0)
+    c = jnp.zeros((kp, f), jnp.float32).at[:k].set(cf)
+    c_sq = D.row_sq_norms(c)
+    ids = lax.broadcasted_iota(jnp.int32, (kp, 1), 0)[:, 0]
+    penalty = jnp.where(ids < k, 0.0, config.PAD_PENALTY)
+    penalty = penalty.at[:k].add(
+        jnp.where(dead, config.PAD_PENALTY, 0.0))
+    scale = -2.0 if metric == D.DistanceMetric.L2 else -1.0
+    ct_panel = (c.T * scale).astype(storage_dtype)
+    if metric == D.DistanceMetric.L2:
+        bias = (c_sq + penalty)[None, :]
+    else:
+        bias = penalty[None, :]
+    return ct_panel, bias, ids
 
 
 def _kernel(x_ref, ct_ref, csqpen_ref, ids_ref, valid_ref, prev_ref,
@@ -55,8 +88,10 @@ def _kernel(x_ref, ct_ref, csqpen_ref, ids_ref, valid_ref, prev_ref,
                 precision=jax.lax.Precision.HIGHEST
                 if x_ref.dtype == jnp.float32 else
                 jax.lax.Precision.DEFAULT)
-    s = s + csqpen_ref[:]                 # csq + pad penalty, (1, Kp)
-    s = jnp.where(jnp.isfinite(s), s, config.PAD_PENALTY)
+    # csq + pad/dead penalty; scores are finite by construction (panel
+    # sanitized by _panel, samples pre-zeroed by prepare) — no isfinite
+    # pass needed here
+    s = s + csqpen_ref[:]                 # (1, Kp)
 
     best = jnp.min(s, axis=1)             # (TS,)
     ids = ids_ref[:]                       # (1, Kp) int32 original ids
@@ -106,8 +141,7 @@ def _kernel_assign_only(x_ref, ct_ref, csqpen_ref, ids_ref, valid_ref,
                 precision=jax.lax.Precision.HIGHEST
                 if x_ref.dtype == jnp.float32 else
                 jax.lax.Precision.DEFAULT)
-    s = s + csqpen_ref[:]
-    s = jnp.where(jnp.isfinite(s), s, config.PAD_PENALTY)
+    s = s + csqpen_ref[:]   # finite by construction (see _kernel)
 
     best = jnp.min(s, axis=1)
     ids = ids_ref[:]
@@ -138,14 +172,8 @@ def assign_only_pass(x, valid, prev_assign, centroids, *, n_clusters: int,
     best (Nl,) fp32, changed () int32 — LOCAL, caller psums)."""
     nl, f = x.shape
     k = n_clusters
-    c_t, c_sq, penalty, orig_ids = pad_clusters(centroids, x.dtype)
-    kp = c_t.shape[1]
-    scale = -2.0 if metric == D.DistanceMetric.L2 else -1.0
-    ct_panel = (c_t.astype(jnp.float32) * scale).astype(x.dtype)
-    if metric == D.DistanceMetric.L2:
-        bias = (c_sq + penalty)[None, :]
-    else:
-        bias = penalty[None, :]
+    ct_panel, bias, orig_ids = _panel(centroids, x.dtype, metric)
+    kp = ct_panel.shape[1]
 
     grid = nl // tile
     rows = tile // 128
@@ -208,17 +236,11 @@ def fused_lloyd_pass(x, valid, prev_assign, centroids, *, n_clusters: int,
     """
     nl, f = x.shape
     k = n_clusters
-    c_t, c_sq, penalty, orig_ids = pad_clusters(centroids, x.dtype)
-    kp = c_t.shape[1]
     # The kernel computes s = dot(x, panel) + bias.
     #   L2:     s = -2<x,c> + (csq + pen)   (panel = -2 c, exact scaling)
     #   cosine: s = -<x,c>  + pen           (panel = -c)
-    scale = -2.0 if metric == D.DistanceMetric.L2 else -1.0
-    ct_panel = (c_t.astype(jnp.float32) * scale).astype(x.dtype)
-    if metric == D.DistanceMetric.L2:
-        bias = (c_sq + penalty)[None, :]
-    else:
-        bias = penalty[None, :]
+    ct_panel, bias, orig_ids = _panel(centroids, x.dtype, metric)
+    kp = ct_panel.shape[1]
 
     grid = nl // tile
     rows = tile // 128
